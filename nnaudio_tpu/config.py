@@ -1,0 +1,65 @@
+"""Global numerics / execution configuration.
+
+The reference is float32 end-to-end; TPU matmuls default to bf16 passes. We
+default every parity-critical contraction to full fp32 MXU precision
+(``HIGHEST``) and expose a fast mode (``DEFAULT`` ≈ bf16 multiplies with fp32
+accumulation) for throughput-critical deployments (SURVEY.md §7 "Numerics").
+"""
+from __future__ import annotations
+
+import contextlib
+from dataclasses import dataclass
+
+import jax
+
+
+@dataclass
+class _Config:
+    # jax.lax.Precision for basis matmuls: "highest" (fp32 parity, default)
+    # or "default" (bf16 fast mode).
+    matmul_precision: str = "highest"
+    # Use fused Pallas kernels on TPU when available.
+    use_pallas: bool = True
+
+
+_config = _Config()
+
+
+def get_config() -> _Config:
+    return _config
+
+
+def set_matmul_precision(mode: str) -> None:
+    if mode not in ("highest", "default", "tensorfloat32"):
+        raise ValueError(f"unknown matmul precision {mode!r}")
+    _config.matmul_precision = mode
+
+
+def set_use_pallas(flag: bool) -> None:
+    _config.use_pallas = bool(flag)
+
+
+@contextlib.contextmanager
+def fast_mode():
+    """Context: bf16-multiply matmuls for max MXU throughput."""
+    prev = _config.matmul_precision
+    _config.matmul_precision = "default"
+    try:
+        yield
+    finally:
+        _config.matmul_precision = prev
+
+
+def dot_precision() -> jax.lax.Precision:
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+        "tensorfloat32": jax.lax.Precision.HIGH,
+    }[_config.matmul_precision]
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing should not fail
+        return False

@@ -1,0 +1,74 @@
+"""Signal shaping: broadcast, pad, frame. All jit-clean, static shapes.
+
+The reference reaches framing implicitly through strided ``conv1d``
+(``stft.py:290-293``); on TPU we frame explicitly (a gather with a static
+index matrix) and feed the frames to a single MXU matmul. The gather's VJP is
+a scatter-add, which gives overlap-add gradients for free.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def broadcast_dim(x: jax.Array) -> jax.Array:
+    """Accept ``(L,)``, ``(B, L)`` or ``(B, 1, L)``; return ``(B, L)``.
+
+    Mirrors the reference's input contract (``utils.py:206-222``) but
+    normalizes to 2-D — the channel axis carries no information here.
+    """
+    if x.ndim == 1:
+        return x[None, :]
+    if x.ndim == 2:
+        return x
+    if x.ndim == 3:
+        if x.shape[1] != 1:
+            raise ValueError(
+                f"3-D input must have a singleton channel axis, got {x.shape}"
+            )
+        return x[:, 0, :]
+    raise ValueError(
+        "Only inputs of shape (len), (batch, len) or (batch, 1, len) are "
+        f"supported; got {x.shape}"
+    )
+
+
+def pad_signal(x: jax.Array, pad_amount: int, pad_mode: str = "reflect") -> jax.Array:
+    """Center padding on the last axis. ``reflect`` matches torch's
+    ReflectionPad1d; ``constant`` zero-pads."""
+    if pad_amount == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(pad_amount, pad_amount)]
+    if pad_mode == "constant":
+        return jnp.pad(x, widths, mode="constant")
+    if pad_mode == "reflect":
+        if x.shape[-1] < pad_amount + 1:
+            raise ValueError(
+                "Signal length shorter than reflect padding length (n_fft // 2)."
+            )
+        return jnp.pad(x, widths, mode="reflect")
+    raise ValueError(f"pad_mode must be 'reflect' or 'constant', got {pad_mode!r}")
+
+
+def num_frames(length: int, frame_length: int, hop: int) -> int:
+    """Frames produced by a stride-``hop`` window of ``frame_length`` over
+    ``length`` samples (conv1d 'valid' arithmetic)."""
+    return (length - frame_length) // hop + 1
+
+
+def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
+    """(B, L) -> (B, T, frame_length) overlapping frames via static gather."""
+    t = num_frames(x.shape[-1], frame_length, hop)
+    idx = jnp.arange(t)[:, None] * hop + jnp.arange(frame_length)[None, :]
+    return x[..., idx]
+
+
+def frames_to_signal(frames: jax.Array, hop: int, length: int) -> jax.Array:
+    """Overlap-add: (B, T, frame_length) -> (B, length) scatter-add (the exact
+    adjoint of :func:`frame_signal`; replaces the reference's ``fold`` at
+    utils.py:52-56)."""
+    t, n = frames.shape[-2], frames.shape[-1]
+    idx = (jnp.arange(t)[:, None] * hop + jnp.arange(n)[None, :]).reshape(-1)
+    flat = frames.reshape(*frames.shape[:-2], t * n)
+    out = jnp.zeros((*frames.shape[:-2], length), dtype=frames.dtype)
+    return out.at[..., idx].add(flat)

@@ -1,0 +1,91 @@
+"""Transform base class: pytree parameters + cached jitted forwards.
+
+Replaces the reference's ``nn.Module`` buffer/parameter machinery
+(``stft.py:234-245``) with a functional design: each transform owns a dict of
+``jnp`` arrays (its basis kernels), a set of trainable names, and compiles its
+forward once per static-kwarg combination. Gradients flow through
+``transform.apply(params, x)`` with any subset of parameters overridden.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+
+class SpectralTransform:
+    """Base for all feature transforms.
+
+    Subclasses populate parameters in ``__init__`` via :meth:`_register` and
+    implement ``_forward(params, x, **static_kwargs)`` with jit-clean code.
+    """
+
+    def __init__(self) -> None:
+        self._params: dict[str, jax.Array] = {}
+        self._trainable: set[str] = set()
+        self._jit_cache: dict[Any, Callable] = {}
+
+    # ------------------------------------------------------------- params --
+    def _register(self, name: str, value, trainable: bool = False) -> jax.Array:
+        arr = jnp.asarray(value)
+        self._params[name] = arr
+        if trainable:
+            self._trainable.add(name)
+        return arr
+
+    @property
+    def params(self) -> dict[str, jax.Array]:
+        """All parameters (frozen buffers and trainable kernels alike)."""
+        return dict(self._params)
+
+    def trainable_params(self) -> dict[str, jax.Array]:
+        """The subset of :attr:`params` marked trainable — feed to jax.grad
+        / optax."""
+        return {k: v for k, v in self._params.items() if k in self._trainable}
+
+    def update_params(self, new_params: Mapping[str, Any]) -> None:
+        """Write updated (e.g. optimizer-stepped) parameters back in place."""
+        for k, v in new_params.items():
+            if k not in self._params:
+                raise KeyError(f"unknown parameter {k!r}")
+            self._params[k] = jnp.asarray(v)
+
+    # ------------------------------------------------------------ forward --
+    def _forward(self, params: Mapping[str, jax.Array], x: jax.Array, **kw):
+        raise NotImplementedError
+
+    def apply(self, params: Mapping[str, jax.Array] | None, x, **static_kwargs):
+        """Functional forward: ``params`` (possibly a partial override, e.g.
+        just the trainable subset) applied over the stored parameters."""
+        merged = dict(self._params)
+        if params:
+            merged.update(params)
+        x = jnp.asarray(x)
+        key = tuple(sorted(static_kwargs.items()))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._forward, **static_kwargs))
+            self._jit_cache[key] = fn
+        return fn(merged, x)
+
+    def __call__(self, x, **static_kwargs):
+        return self.apply(None, x, **static_kwargs)
+
+    # -------------------------------------------------------------- state --
+    def state_dict(self) -> dict[str, Any]:
+        """Numpy-backed snapshot of every parameter (checkpointing parity
+        with ``nn.Module.state_dict``; see utils/checkpoint.py for orbax)."""
+        import numpy as np
+
+        return {k: np.asarray(v) for k, v in self._params.items()}
+
+    def load_state_dict(self, state: Mapping[str, Any]) -> None:
+        for k, v in state.items():
+            if k in self._params:
+                self._params[k] = jnp.asarray(v)
+
+    def _verbose_print(self, verbose: bool, message: str) -> None:
+        if verbose:
+            print(message)

@@ -1,0 +1,317 @@
+"""STFT and inverse STFT transforms.
+
+TPU-native rebuild of the reference STFT family
+(``/root/reference/Installation/nnAudio/features/stft.py``): the forward is an
+explicit windowed-DFT basis matmul over framed audio (MXU) instead of strided
+conv1d; the inverse is an IDFT basis matmul + scatter-add overlap-add with
+in-graph window-sumsquare normalization (no stateful ``w_sum`` cache — the
+reference's cache at stft.py:42-48 is a cross-call mutation footgun that a
+functional design eliminates).
+
+API-visible conventions preserved (SURVEY.md §7 "quirks"):
+- ``Complex`` output stacks ``(real, -imag)`` (stft.py:309-311).
+- ``Phase`` is scalar ``atan2(-imag + 0.0, real)`` (stft.py:313-316).
+- ``Magnitude`` adds 1e-8 under the sqrt only when trainable (stft.py:299-306).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..filters.fourier import create_fourier_basis
+from ..filters.windows import pad_center, window_dispatch
+from ..core.frame import broadcast_dim, num_frames, pad_signal
+from ..core.apply import complex_stack, magnitude, phase_atan
+from ..core.overlap import (
+    extend_fbins,
+    normalize_by_window_envelope,
+    overlap_add,
+    window_sumsquare,
+)
+from ..ops.dispatch import framed_basis_pair
+from ..config import dot_precision
+from .base import SpectralTransform
+
+
+def _inverse_stft_graph(
+    X,
+    kernel_cos,
+    kernel_sin,
+    window_mask,
+    n_fft: int,
+    hop: int,
+    onesided: bool,
+    length: int | None,
+    center: bool,
+    pad_amount: int,
+):
+    """Shared iSTFT math (reference ``STFTBase.inverse_stft``, stft.py:15-63).
+
+    ``X``: (B, F, T, 2) complex stack; kernels: (n_fft, n_fft) IDFT bases.
+    """
+    if onesided:
+        X = extend_fbins(X)
+    X_real, X_imag = X[..., 0], X[..., 1]
+    prec = dot_precision()
+    # frames[b, j, t] = sum_f Re[f] cos(2pi j f/N) - Im[f] sin(2pi j f/N)
+    frames = jnp.einsum("jf,bft->bjt", kernel_cos, X_real, precision=prec,
+                        preferred_element_type=jnp.float32)
+    frames = frames - jnp.einsum("jf,bft->bjt", kernel_sin, X_imag, precision=prec,
+                                 preferred_element_type=jnp.float32)
+    frames = frames * window_mask[None, :, None] / n_fft
+    signal = overlap_add(frames, hop)  # (B, n_fft + hop*(T-1))
+    w_sum = window_sumsquare(window_mask, X.shape[2], hop, n_fft)
+    signal = normalize_by_window_envelope(signal, w_sum)
+    if length is None:
+        if center:
+            signal = signal[:, pad_amount:-pad_amount]
+    else:
+        if center:
+            signal = signal[:, pad_amount : pad_amount + length]
+        else:
+            signal = signal[:, :length]
+    return signal
+
+
+class STFT(SpectralTransform):
+    """Short-time Fourier transform as a trainable basis matmul.
+
+    Parameters follow the reference class (stft.py:153-254): ``n_fft``,
+    ``win_length``, ``freq_bins``, ``hop_length`` (default ``win_length//4``),
+    ``window``, ``freq_scale`` ∈ {linear, log, log2, no}, ``center``,
+    ``pad_mode`` ∈ {reflect, constant}, ``iSTFT`` to enable :meth:`inverse`,
+    ``fmin``/``fmax``/``sr`` for scaled bin placement, ``trainable``,
+    ``output_format`` ∈ {Magnitude, Complex, Phase}.
+
+    Input shapes ``(L,)``, ``(B, L)`` or ``(B, 1, L)``; output
+    ``(B, F, T)`` for Magnitude/Phase, ``(B, F, T, 2)`` for Complex.
+    """
+
+    def __init__(
+        self,
+        n_fft: int = 2048,
+        win_length: int | None = None,
+        freq_bins: int | None = None,
+        hop_length: int | None = None,
+        window: str = "hann",
+        freq_scale: str = "no",
+        center: bool = True,
+        pad_mode: str = "reflect",
+        iSTFT: bool = False,
+        fmin: float = 50,
+        fmax: float = 6000,
+        sr: float = 22050,
+        trainable: bool = False,
+        output_format: str = "Complex",
+        verbose: bool = True,
+    ):
+        super().__init__()
+        if win_length is None:
+            win_length = n_fft
+        if hop_length is None:
+            hop_length = int(win_length // 4)
+
+        self.n_fft = n_fft
+        self.win_length = win_length
+        self.freq_bins = freq_bins
+        self.stride = hop_length
+        self.center = center
+        self.pad_mode = pad_mode
+        self.pad_amount = n_fft // 2
+        self.trainable = trainable
+        self.output_format = output_format
+        self.iSTFT = iSTFT
+
+        basis = create_fourier_basis(
+            n_fft,
+            win_length=win_length,
+            freq_bins=freq_bins,
+            window=window,
+            freq_scale=freq_scale,
+            fmin=fmin,
+            fmax=fmax,
+            sr=sr,
+        )
+        self.bins2freq = basis.bins2freq
+        self.bin_list = basis.binslist
+
+        window_mask = basis.window_mask  # (n_fft,)
+        self._register("wsin", basis.wsin * window_mask[None, :], trainable=trainable)
+        self._register("wcos", basis.wcos * window_mask[None, :], trainable=trainable)
+        self._register("window_mask", window_mask)
+
+        if iSTFT:
+            # full-bin IDFT bases by mirroring (stft.py:218-219); rows k and
+            # n_fft-k carry cos/−sin symmetry so the concatenated bank is the
+            # dense (n_fft, n_fft) DFT matrix
+            ksin, kcos = basis.wsin, basis.wcos
+            kernel_sin_inv = np.concatenate((ksin, -ksin[1:-1][::-1]), axis=0)
+            kernel_cos_inv = np.concatenate((kcos, kcos[1:-1][::-1]), axis=0)
+            self._register("kernel_sin_inv", kernel_sin_inv)
+            self._register("kernel_cos_inv", kernel_cos_inv)
+
+        self._verbose_print(verbose, f"STFT basis created: n_fft={n_fft}, freq_bins={basis.wsin.shape[0]}")
+
+    # ------------------------------------------------------------ forward --
+    def _forward(self, params, x, output_format="Complex"):
+        x = broadcast_dim(x)
+        if self.center:
+            x = pad_signal(x, self.pad_amount, self.pad_mode)
+        spec_real, spec_imag = framed_basis_pair(
+            x, params["wcos"], params["wsin"], self.stride
+        )
+        if self.freq_bins is not None:
+            spec_real = spec_real[:, : self.freq_bins]
+            spec_imag = spec_imag[:, : self.freq_bins]
+
+        if output_format == "Magnitude":
+            return magnitude(spec_real, spec_imag, trainable=self.trainable)
+        if output_format == "Complex":
+            return complex_stack(spec_real, -spec_imag)
+        if output_format == "Phase":
+            return phase_atan(spec_real, -spec_imag)
+        raise ValueError(f"unknown output_format {output_format!r}")
+
+    def __call__(self, x, output_format=None):
+        return self.apply(None, x, output_format=output_format or self.output_format)
+
+    def apply(self, params, x, output_format=None, **kw):
+        return super().apply(
+            params, x, output_format=output_format or self.output_format, **kw
+        )
+
+    # ------------------------------------------------------------ inverse --
+    def _inverse(self, params, X, onesided=True, length=None, refresh_win=True):
+        return _inverse_stft_graph(
+            X,
+            params["kernel_cos_inv"],
+            params["kernel_sin_inv"],
+            params["window_mask"],
+            self.n_fft,
+            self.stride,
+            onesided,
+            length,
+            self.center,
+            self.pad_amount,
+        )
+
+    def inverse(self, X, onesided=True, length=None, refresh_win=True):
+        """Spectrogram -> waveform, using the frozen mirrored kernels.
+
+        ``refresh_win`` is accepted for API parity but has no effect: the
+        window envelope is recomputed inside the compiled graph.
+        """
+        if "kernel_cos_inv" not in self._params:
+            raise NameError(
+                "Please activate the iSTFT module by setting `iSTFT=True` "
+                "if you want to use `inverse`"
+            )
+        X = jnp.asarray(X)
+        if X.ndim != 4:
+            raise AssertionError(
+                "Inverse iSTFT only works for complex numbers; expected shape "
+                "(batch, freq_bins, timesteps, 2). For magnitude spectrograms "
+                "use Griffin-Lim."
+            )
+        import functools
+
+        key = ("inverse", onesided, length)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(self._inverse, onesided=onesided, length=length)
+            )
+            self._jit_cache[key] = fn
+        return fn(dict(self._params), X)
+
+    def extra_repr(self) -> str:
+        return "n_fft={}, Fourier Kernel size={}, iSTFT={}, trainable={}".format(
+            self.n_fft, tuple(self._params["wsin"].shape), self.iSTFT, self.trainable
+        )
+
+
+class iSTFT(SpectralTransform):
+    """Standalone inverse STFT with separately trainable kernels and window.
+
+    Mirrors the reference class (stft.py:439-546). The window mask is
+    zero-padded (centered) to ``n_fft`` — with the default
+    ``win_length == n_fft`` this is identical to the reference; for
+    ``win_length < n_fft`` the reference would crash on a shape mismatch.
+    """
+
+    def __init__(
+        self,
+        n_fft: int = 2048,
+        win_length: int | None = None,
+        freq_bins: int | None = None,
+        hop_length: int | None = None,
+        window: str = "hann",
+        freq_scale: str = "no",
+        center: bool = True,
+        fmin: float = 50,
+        fmax: float = 6000,
+        sr: float = 22050,
+        trainable_kernels: bool = False,
+        trainable_window: bool = False,
+        verbose: bool = True,
+        refresh_win: bool = True,
+    ):
+        super().__init__()
+        if win_length is None:
+            win_length = n_fft
+        if hop_length is None:
+            hop_length = int(win_length // 4)
+
+        self.n_fft = n_fft
+        self.win_length = win_length
+        self.stride = hop_length
+        self.center = center
+        self.pad_amount = n_fft // 2
+        self.refresh_win = refresh_win
+
+        # full-resolution (n_fft-bin) unwindowed Fourier kernels
+        basis = create_fourier_basis(
+            n_fft,
+            win_length=win_length,
+            freq_bins=n_fft,
+            window=window,
+            freq_scale=freq_scale,
+            fmin=fmin,
+            fmax=fmax,
+            sr=sr,
+        )
+        window_mask = pad_center(
+            window_dispatch(window, int(win_length), fftbins=True), n_fft
+        ).astype(np.float32)
+
+        self._register("kernel_sin", basis.wsin, trainable=trainable_kernels)
+        self._register("kernel_cos", basis.wcos, trainable=trainable_kernels)
+        self._register("window_mask", window_mask, trainable=trainable_window)
+        self._verbose_print(verbose, f"iSTFT kernels created: n_fft={n_fft}")
+
+    def _forward(self, params, X, onesided=False, length=None):
+        return _inverse_stft_graph(
+            X,
+            params["kernel_cos"],
+            params["kernel_sin"],
+            params["window_mask"],
+            self.n_fft,
+            self.stride,
+            onesided,
+            length,
+            self.center,
+            self.pad_amount,
+        )
+
+    def __call__(self, X, onesided=False, length=None, refresh_win=None):
+        return self.apply(None, X, onesided=onesided, length=length)
+
+    def apply(self, params, X, onesided=False, length=None, refresh_win=None):
+        X = jnp.asarray(X)
+        if X.ndim != 4:
+            raise AssertionError(
+                "Inverse iSTFT only works for complex numbers; expected shape "
+                "(batch, freq_bins, timesteps, 2)."
+            )
+        return super().apply(params, X, onesided=onesided, length=length)

@@ -1,0 +1,89 @@
+"""Backend dispatch between the pure-XLA path and fused Pallas TPU kernels.
+
+The XLA path (frame gather + einsum) is the correctness reference and works on
+every backend; the Pallas path fuses framing and the basis matmul so frames
+never hit HBM (SURVEY.md §7 step 8). The op carries a custom VJP so trainable
+bases differentiate through either backend: the backward pass is expressed in
+XLA (frame-weighted outer products for dW, overlap-scatter for dx).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import dot_precision, get_config, on_tpu
+from ..core.apply import apply_basis
+from ..core.frame import frame_signal, frames_to_signal
+
+
+def _xla_pair(x, wcos, wsin, hop):
+    n_fft = wcos.shape[-1]
+    if n_fft % hop == 0 and hop >= 1:
+        # gather-free hop-decomposition: view x as (rows, hop); frame t is
+        # rows t..t+n_fft/hop-1, so Y = sum_c x2[:, c:c+T] @ W[:, c*hop:(c+1)*hop]^T.
+        # Compiles and runs much faster than a (T, n_fft) gather on TPU.
+        b, length = x.shape
+        t_total = (length - n_fft) // hop + 1
+        n_chunks = n_fft // hop
+        rows = t_total + n_chunks - 1
+        need = rows * hop
+        if need > length:
+            x = jnp.pad(x, ((0, 0), (0, need - length)))
+        x2 = x[:, :need].reshape(b, rows, hop)
+        prec = dot_precision()
+        real = jnp.zeros((b, wcos.shape[0], t_total), jnp.float32)
+        imag = jnp.zeros((b, wsin.shape[0], t_total), jnp.float32)
+        for c in range(n_chunks):
+            chunk = x2[:, c : c + t_total, :]  # (B, T, hop)
+            wc = wcos[:, c * hop : (c + 1) * hop]
+            ws = wsin[:, c * hop : (c + 1) * hop]
+            real = real + jnp.einsum("bth,fh->bft", chunk, wc, precision=prec,
+                                     preferred_element_type=jnp.float32)
+            imag = imag + jnp.einsum("bth,fh->bft", chunk, ws, precision=prec,
+                                     preferred_element_type=jnp.float32)
+        return real, imag
+    frames = frame_signal(x, n_fft, hop)  # (B, T, n_fft)
+    return apply_basis(frames, wcos), apply_basis(frames, wsin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def framed_basis_pair(x, wcos, wsin, hop):
+    """STFT core: signal (B, L) × bases (F, n_fft) -> two (B, F, T) maps.
+
+    Returns (real, imag_raw) where ``imag_raw`` is the *un-negated* sin
+    projection, matching the reference conv1d pair (stft.py:290-293).
+    """
+    cfg = get_config()
+    if cfg.use_pallas and on_tpu() and cfg.matmul_precision == "highest":
+        from .framed_matmul import framed_matmul_pair_pallas
+
+        out = framed_matmul_pair_pallas(x, wcos, wsin, hop)
+        if out is not None:
+            return out
+    return _xla_pair(x, wcos, wsin, hop)
+
+
+def _fwd(x, wcos, wsin, hop):
+    return framed_basis_pair(x, wcos, wsin, hop), (x, wcos, wsin)
+
+
+def _bwd(hop, res, grads):
+    x, wcos, wsin = res
+    g_real, g_imag = grads
+    prec = dot_precision()
+    frames = frame_signal(x, wcos.shape[-1], hop)  # (B, T, N)
+    d_wcos = jnp.einsum("bft,btn->fn", g_real, frames, precision=prec,
+                        preferred_element_type=jnp.float32).astype(wcos.dtype)
+    d_wsin = jnp.einsum("bft,btn->fn", g_imag, frames, precision=prec,
+                        preferred_element_type=jnp.float32).astype(wsin.dtype)
+    d_frames = jnp.einsum("bft,fn->btn", g_real, wcos, precision=prec,
+                          preferred_element_type=jnp.float32)
+    d_frames = d_frames + jnp.einsum("bft,fn->btn", g_imag, wsin, precision=prec,
+                                     preferred_element_type=jnp.float32)
+    d_x = frames_to_signal(d_frames.astype(x.dtype), hop, x.shape[-1])
+    return d_x, d_wcos, d_wsin
+
+
+framed_basis_pair.defvjp(_fwd, _bwd)
