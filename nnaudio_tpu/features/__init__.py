@@ -1,4 +1,34 @@
-"""Feature/transform API — the product surface (reference parity: features/)."""
-from .stft import STFT, iSTFT
+"""Feature/transform API — the product surface.
 
-__all__ = ["STFT", "iSTFT"]
+Mirrors the reference namespace (``features/__init__.py:6-14`` star-exports
+every feature module): all transforms are importable both from here and from
+the deprecated ``nnaudio_tpu.Spectrogram`` shim.
+"""
+from .base import SpectralTransform
+from .stft import STFT, iSTFT
+from .mel import MelSpectrogram, MFCC
+from .gammatone import Gammatonegram
+from .chroma import ChromaSTFT
+from .cqt import CQT, CQT1992, CQT1992v2, CQT2010, CQT2010v2
+from .vqt import VQT
+from .cfp import CFP, Combined_Frequency_Periodicity
+from .griffin_lim import Griffin_Lim
+
+__all__ = [
+    "SpectralTransform",
+    "STFT",
+    "iSTFT",
+    "MelSpectrogram",
+    "MFCC",
+    "Gammatonegram",
+    "ChromaSTFT",
+    "CQT",
+    "CQT1992",
+    "CQT1992v2",
+    "CQT2010",
+    "CQT2010v2",
+    "VQT",
+    "CFP",
+    "Combined_Frequency_Periodicity",
+    "Griffin_Lim",
+]

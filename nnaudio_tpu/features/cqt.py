@@ -1,0 +1,557 @@
+"""Constant-Q transform family: CQT1992, CQT1992v2 (= CQT), CQT2010, CQT2010v2.
+
+TPU-native rebuild of ``/root/reference/Installation/nnAudio/features/cqt.py``.
+Every variant is one or more framed basis matmuls on the MXU instead of strided
+conv1d; the 2010 pyramid's octave loop is unrolled at trace time (static
+``n_octaves``), with FIR downsampling between octaves.
+
+API-visible conventions preserved (SURVEY.md §7 "quirks"):
+- 1992-family centers pad ``kernel_width//2`` only when ``center=True``
+  (cqt.py:205-211, 741-746); the 2010 pyramid always pads ``n_fft//2``
+  (cqt.py:474-478, 1063-1068).
+- Sign conventions differ per variant and are replicated exactly:
+  CQT1992 stacks ``(real, -imag)`` post complex-mul but computes Phase from
+  the *un-negated* pre-normalization pair (cqt.py:222-251); CQT1992v2 and
+  CQT2010v2 negate at the conv (cqt.py:749-750, utils.py:518-519); CQT2010
+  stacks the complex-mul result without negation (utils.py:548-559).
+- ``normalization_type`` ∈ {librosa, convolutional, wrap} on every variant.
+- Magnitude adds 1e-8 under the sqrt only when trainable
+  (cqt.py:771, 1130-1134).
+"""
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.apply import complex_bank_mul, phase_unit_stack
+from ..core.frame import broadcast_dim, pad_signal
+from ..core.resample import downsample_by_n
+from ..filters.cqt import create_cqt_kernels, create_lowpass_filter, early_downsample_params
+from ..filters.fourier import create_fourier_basis
+from ..ops.dispatch import framed_basis_pair
+from .base import SpectralTransform
+
+
+def _center_pad(x, pad_amount: int, pad_mode: str):
+    """Reflect padding with the reference's constant-pad fallback for signals
+    shorter than the pad (utils.py:505-517)."""
+    if pad_mode == "reflect" and x.shape[-1] < pad_amount + 1:
+        warnings.warn(
+            f"input size = {x.shape}\tkernel pad = {pad_amount}\n"
+            "padding with reflection mode might not be the best choice, "
+            "try using constant padding",
+            UserWarning,
+        )
+        pad_mode = "constant"
+    return pad_signal(x, pad_amount, pad_mode)
+
+
+def _cqt_output(real, imag, output_format: str, trainable: bool):
+    """Shared Magnitude/Complex/Phase heads (cqt.py:766-780)."""
+    if output_format == "Magnitude":
+        power = real * real + imag * imag
+        if trainable:
+            return jnp.sqrt(power + 1e-8)
+        return jnp.sqrt(power)
+    if output_format == "Complex":
+        return jnp.stack((real, imag), axis=-1)
+    if output_format == "Phase":
+        return phase_unit_stack(real, imag)
+    raise ValueError(f"unknown output_format {output_format!r}")
+
+
+def _check_norm_type(normalization_type: str):
+    if normalization_type not in ("librosa", "convolutional", "wrap"):
+        raise ValueError(
+            "The normalization_type %r is not part of our current options."
+            % normalization_type
+        )
+
+
+class CQT1992(SpectralTransform):
+    """Original Brown–Puckette CQT: rectangular-window Fourier stage followed
+    by a frequency-domain complex matmul with FFT'd CQT kernels
+    (reference ``cqt.py:9-256``).
+
+    Defaults: ``sr=22050, hop_length=512, fmin=220, n_bins=84,
+    bins_per_octave=12``. The ``norm`` argument only shapes the kernels (the
+    reference notes it is otherwise "not functioning", cqt.py:126).
+    """
+
+    def __init__(
+        self,
+        sr: float = 22050,
+        hop_length: int = 512,
+        fmin: float = 220,
+        fmax: float | None = None,
+        n_bins: int = 84,
+        trainable_STFT: bool = False,
+        trainable_CQT: bool = False,
+        bins_per_octave: int = 12,
+        filter_scale: float = 1,
+        output_format: str = "Magnitude",
+        norm: float = 1,
+        window: str = "hann",
+        center: bool = True,
+        pad_mode: str = "reflect",
+    ):
+        super().__init__()
+        self.hop_length = hop_length
+        self.center = center
+        self.pad_mode = pad_mode
+        self.output_format = output_format
+        self.trainable = trainable_STFT or trainable_CQT
+
+        Q = float(filter_scale) / (2 ** (1 / bins_per_octave) - 1)
+        bank = create_cqt_kernels(
+            Q, sr, fmin, n_bins, bins_per_octave, norm, window, fmax
+        )
+        self.kernel_width = bank.fft_len
+        self.frequencies = bank.freqs
+        self._register("lenghts", bank.lengths)
+
+        # kernels to the frequency domain, keep the onesided half (cqt.py:145)
+        fft_kernels = np.fft.fft(bank.kernels, axis=1)[:, : self.kernel_width // 2 + 1]
+        self._register("cqt_kernels_real", fft_kernels.real.astype(np.float32),
+                       trainable=trainable_CQT)
+        self._register("cqt_kernels_imag", fft_kernels.imag.astype(np.float32),
+                       trainable=trainable_CQT)
+
+        fourier = create_fourier_basis(
+            self.kernel_width, window="ones", freq_scale="no"
+        )
+        self.bins2freq = fourier.bins2freq
+        self._register("wsin", fourier.wsin * fourier.window_mask[None, :],
+                       trainable=trainable_STFT)
+        self._register("wcos", fourier.wcos * fourier.window_mask[None, :],
+                       trainable=trainable_STFT)
+
+    def _forward(self, params, x, output_format=None, normalization_type="librosa"):
+        output_format = output_format or self.output_format
+        _check_norm_type(normalization_type)
+        x = broadcast_dim(x)
+        if self.center:
+            x = _center_pad(x, self.kernel_width // 2, self.pad_mode)
+
+        fourier_real, fourier_imag = framed_basis_pair(
+            x, params["wcos"], params["wsin"], self.hop_length
+        )
+        cqt_real, cqt_imag = complex_bank_mul(
+            params["cqt_kernels_real"],
+            params["cqt_kernels_imag"],
+            fourier_real,
+            fourier_imag,
+        )
+
+        # normalized components carry the reference's (real, -imag) stack
+        real_n, imag_n = cqt_real, -cqt_imag
+        if normalization_type == "librosa":
+            scale = jnp.sqrt(params["lenghts"])[None, :, None] / self.kernel_width
+            real_n, imag_n = real_n * scale, imag_n * scale
+        elif normalization_type == "wrap":
+            real_n, imag_n = real_n * (2 / self.kernel_width), imag_n * (2 / self.kernel_width)
+
+        if output_format == "Phase":
+            # quirk: Phase uses the raw, un-negated, un-normalized pair
+            # (cqt.py:249-251)
+            return phase_unit_stack(cqt_real, cqt_imag)
+        return _cqt_output(real_n, imag_n, output_format, trainable=False)
+
+    def __call__(self, x, output_format=None, normalization_type="librosa"):
+        return self.apply(
+            None, x, output_format=output_format or self.output_format,
+            normalization_type=normalization_type,
+        )
+
+    def extra_repr(self) -> str:
+        return "STFT kernel size = {}, CQT kernel size = {}".format(
+            tuple(self._params["wcos"].shape),
+            tuple(self._params["cqt_kernels_real"].shape),
+        )
+
+
+class CQT1992v2(SpectralTransform):
+    """Direct time-domain CQT: one framed matmul with complex log-spaced
+    wavelets (reference ``cqt.py:561-802``; the default ``CQT``).
+
+    Defaults: ``sr=22050, hop_length=512, fmin=32.70, n_bins=84,
+    bins_per_octave=12, norm=1, window='hann', center=True``.
+    Output: ``(B, n_bins, T)`` Magnitude, ``(B, n_bins, T, 2)`` Complex/Phase.
+    """
+
+    def __init__(
+        self,
+        sr: float = 22050,
+        hop_length: int = 512,
+        fmin: float = 32.70,
+        fmax: float | None = None,
+        n_bins: int = 84,
+        bins_per_octave: int = 12,
+        filter_scale: float = 1,
+        norm: float = 1,
+        window="hann",
+        center: bool = True,
+        pad_mode: str = "reflect",
+        trainable: bool = False,
+        output_format: str = "Magnitude",
+        verbose: bool = True,
+    ):
+        super().__init__()
+        self.trainable = trainable
+        self.hop_length = hop_length
+        self.center = center
+        self.pad_mode = pad_mode
+        self.output_format = output_format
+
+        Q = float(filter_scale) / (2 ** (1 / bins_per_octave) - 1)
+        bank = create_cqt_kernels(
+            Q, sr, fmin, n_bins, bins_per_octave, norm, window, fmax
+        )
+        self.kernel_width = bank.fft_len
+        self.frequencies = bank.freqs
+        self._register("lenghts", bank.lengths)
+        self._register("cqt_kernels_real", bank.kernels.real.astype(np.float32),
+                       trainable=trainable)
+        self._register("cqt_kernels_imag", bank.kernels.imag.astype(np.float32),
+                       trainable=trainable)
+        self._verbose_print(
+            verbose,
+            f"CQT kernels created: {bank.kernels.shape} (width={self.kernel_width})",
+        )
+
+    def _forward(self, params, x, output_format=None, normalization_type="librosa"):
+        output_format = output_format or self.output_format
+        _check_norm_type(normalization_type)
+        x = broadcast_dim(x)
+        if self.center:
+            x = _center_pad(x, self.kernel_width // 2, self.pad_mode)
+
+        real, imag_raw = framed_basis_pair(
+            x, params["cqt_kernels_real"], params["cqt_kernels_imag"], self.hop_length
+        )
+        imag = -imag_raw  # cqt.py:750
+
+        if normalization_type == "librosa":
+            scale = jnp.sqrt(params["lenghts"])[None, :, None]
+            real, imag = real * scale, imag * scale
+        elif normalization_type == "wrap":
+            real, imag = real * 2, imag * 2
+
+        return _cqt_output(real, imag, output_format, trainable=self.trainable)
+
+    def __call__(self, x, output_format=None, normalization_type="librosa"):
+        return self.apply(
+            None, x, output_format=output_format or self.output_format,
+            normalization_type=normalization_type,
+        )
+
+    def forward_manual(self, x):
+        """Debug path matching cqt.py:782-802: un-negated imag, magnitude
+        scaled by sqrt(lengths)."""
+        x = broadcast_dim(jnp.asarray(x))
+        if self.center:
+            x = _center_pad(x, self.kernel_width // 2, self.pad_mode)
+        real, imag = framed_basis_pair(
+            x,
+            self._params["cqt_kernels_real"],
+            self._params["cqt_kernels_imag"],
+            self.hop_length,
+        )
+        mag = jnp.sqrt(real * real + imag * imag)
+        return mag * jnp.sqrt(self._params["lenghts"])[None, :, None]
+
+    def extra_repr(self) -> str:
+        return "CQT kernel size = {}, trainable = {}".format(
+            tuple(self._params["cqt_kernels_real"].shape), self.trainable
+        )
+
+
+class CQT(CQT1992v2):
+    """Alias of :class:`CQT1992v2` (reference cqt.py:1142-1145)."""
+
+
+class _PyramidCQT(SpectralTransform):
+    """Shared init machinery for the 2010 multi-octave pyramid
+    (reference cqt.py:277-436 / 899-1069): octave count, top-octave band
+    placement, early-downsample calculus, lowpass FIR, per-bin lengths."""
+
+    def _init_pyramid(
+        self,
+        sr,
+        hop_length,
+        fmin,
+        fmax,
+        n_bins,
+        bins_per_octave,
+        filter_scale,
+        earlydownsample,
+        verbose,
+    ):
+        Q = float(filter_scale) / (2 ** (1 / bins_per_octave) - 1)
+        self._register(
+            "lowpass_filter",
+            create_lowpass_filter(
+                band_center=0.5, kernel_length=256, transition_bandwidth=0.001
+            ),
+        )
+
+        n_filters = min(bins_per_octave, n_bins)
+        self.n_octaves = int(np.ceil(float(n_bins) / bins_per_octave))
+        self._verbose_print(verbose, f"num_octave = {self.n_octaves}")
+
+        self.fmin_t = fmin * 2 ** (self.n_octaves - 1)
+        remainder = n_bins % bins_per_octave
+        if remainder == 0:
+            fmax_t = self.fmin_t * 2 ** ((bins_per_octave - 1) / bins_per_octave)
+        else:
+            fmax_t = self.fmin_t * 2 ** ((remainder - 1) / bins_per_octave)
+        self.fmin_t = fmax_t / 2 ** (1 - 1 / bins_per_octave)
+        if fmax_t > sr / 2:
+            raise ValueError(
+                f"The top bin {fmax_t}Hz has exceeded the Nyquist frequency, "
+                "please reduce the n_bins"
+            )
+
+        if earlydownsample:
+            new_sr, new_hop, factor, filt, active = early_downsample_params(
+                sr, hop_length, fmax_t, Q, self.n_octaves
+            )
+            self.earlydownsample = active
+            self.downsample_factor = factor
+            if active:
+                self._verbose_print(
+                    verbose, f"Early downsample active, factor = {factor}"
+                )
+                sr, hop_length = new_sr, new_hop
+                self._register("early_downsample_filter", filt)
+        else:
+            self.earlydownsample = False
+            self.downsample_factor = 1.0
+
+        self.hop_length = hop_length
+        return Q, sr, n_filters
+
+
+class CQT2010(_PyramidCQT):
+    """Schörkhuber multi-octave CQT with a frequency-domain top-octave bank:
+    per octave, a rectangular-window Fourier stage + complex matmul with the
+    FFT'd kernels; the input is repeatedly lowpass-downsampled by 2
+    (reference ``cqt.py:259-558``).
+
+    Unlike the 1992 family there is no ``center`` switch — the signal is
+    always padded by ``n_fft//2`` per octave (cqt.py:474-478).
+    """
+
+    def __init__(
+        self,
+        sr: float = 22050,
+        hop_length: int = 512,
+        fmin: float = 32.70,
+        fmax: float | None = None,
+        n_bins: int = 84,
+        bins_per_octave: int = 12,
+        norm: bool = True,
+        basis_norm: float = 1,
+        window: str = "hann",
+        pad_mode: str = "reflect",
+        trainable_STFT: bool = False,
+        filter_scale: float = 1,
+        trainable_CQT: bool = False,
+        output_format: str = "Magnitude",
+        earlydownsample: bool = True,
+        verbose: bool = True,
+    ):
+        super().__init__()
+        self.norm = norm
+        self.pad_mode = pad_mode
+        self.n_bins = n_bins
+        self.output_format = output_format
+        self.trainable = trainable_STFT or trainable_CQT
+
+        Q, sr_eff, n_filters = self._init_pyramid(
+            sr, hop_length, fmin, fmax, n_bins, bins_per_octave, filter_scale,
+            earlydownsample, verbose,
+        )
+
+        bank = create_cqt_kernels(
+            Q, sr_eff, self.fmin_t, n_filters, bins_per_octave,
+            norm=basis_norm, topbin_check=False,
+        )
+        self.n_fft = bank.fft_len
+
+        freqs = fmin * 2.0 ** (np.arange(n_bins) / np.double(bins_per_octave))
+        self.frequencies = freqs
+        self._register("lenghts", np.ceil(Q * sr_eff / freqs).astype(np.float32))
+
+        fft_basis = np.fft.fft(bank.kernels, axis=1)[:, : self.n_fft // 2 + 1]
+        self._register("cqt_kernels_real", fft_basis.real.astype(np.float32),
+                       trainable=trainable_CQT)
+        self._register("cqt_kernels_imag", fft_basis.imag.astype(np.float32),
+                       trainable=trainable_CQT)
+
+        fourier = create_fourier_basis(self.n_fft, window="ones", freq_scale="no")
+        self.bins2freq = fourier.bins2freq
+        self._register("wsin", fourier.wsin * fourier.window_mask[None, :],
+                       trainable=trainable_STFT)
+        self._register("wcos", fourier.wcos * fourier.window_mask[None, :],
+                       trainable=trainable_STFT)
+
+    def _octave_cqt(self, params, x, hop):
+        """Fourier stage + frequency-domain complex mul; the reference's
+        ``get_cqt_complex2`` with wcos/wsin (utils.py:524-559) — note the
+        un-negated stack."""
+        x = _center_pad(x, self.n_fft // 2, self.pad_mode)
+        fr, fi = framed_basis_pair(x, params["wcos"], params["wsin"], hop)
+        return complex_bank_mul(
+            params["cqt_kernels_real"], params["cqt_kernels_imag"], fr, fi
+        )
+
+    def _forward(self, params, x, output_format=None, normalization_type="librosa"):
+        output_format = output_format or self.output_format
+        _check_norm_type(normalization_type)
+        x = broadcast_dim(x)
+        if self.earlydownsample:
+            x = downsample_by_n(
+                x, params["early_downsample_filter"], int(self.downsample_factor)
+            )
+        hop = self.hop_length
+        real, imag = self._octave_cqt(params, x, hop)
+
+        x_down = x
+        for _ in range(self.n_octaves - 1):
+            hop = hop // 2
+            x_down = downsample_by_n(x_down, params["lowpass_filter"], 2)
+            r1, i1 = self._octave_cqt(params, x_down, hop)
+            real = jnp.concatenate((r1, real), axis=1)
+            imag = jnp.concatenate((i1, imag), axis=1)
+
+        real, imag = real[:, -self.n_bins :], imag[:, -self.n_bins :]
+
+        if normalization_type == "librosa":
+            scale = jnp.sqrt(params["lenghts"])[None, :, None] / self.n_fft
+            real, imag = real * scale, imag * scale
+        elif normalization_type == "wrap":
+            real, imag = real * (2 / self.n_fft), imag * (2 / self.n_fft)
+
+        return _cqt_output(real, imag, output_format, trainable=False)
+
+    def __call__(self, x, output_format=None, normalization_type="librosa"):
+        return self.apply(
+            None, x, output_format=output_format or self.output_format,
+            normalization_type=normalization_type,
+        )
+
+    def extra_repr(self) -> str:
+        return "STFT kernel size = {}, CQT kernel size = {}".format(
+            tuple(self._params["wcos"].shape),
+            tuple(self._params["cqt_kernels_real"].shape),
+        )
+
+
+class CQT2010v2(_PyramidCQT):
+    """Multi-octave pyramid with time-domain top-octave kernels
+    (reference ``cqt.py:805-1139``): per octave a direct framed matmul with the
+    complex wavelets (no Fourier stage); early downsampling on by default.
+
+    Defaults: ``sr=22050, hop_length=512, fmin=32.70, n_bins=84,
+    bins_per_octave=12, earlydownsample=True``.
+    """
+
+    def __init__(
+        self,
+        sr: float = 22050,
+        hop_length: int = 512,
+        fmin: float = 32.70,
+        fmax: float | None = None,
+        n_bins: int = 84,
+        filter_scale: float = 1,
+        bins_per_octave: int = 12,
+        norm: bool = True,
+        basis_norm: float = 1,
+        window: str = "hann",
+        pad_mode: str = "reflect",
+        earlydownsample: bool = True,
+        trainable: bool = False,
+        output_format: str = "Magnitude",
+        verbose: bool = True,
+    ):
+        super().__init__()
+        self.norm = norm
+        self.pad_mode = pad_mode
+        self.n_bins = n_bins
+        self.output_format = output_format
+        self.trainable = trainable
+
+        Q, sr_eff, n_filters = self._init_pyramid(
+            sr, hop_length, fmin, fmax, n_bins, bins_per_octave, filter_scale,
+            earlydownsample, verbose,
+        )
+
+        bank = create_cqt_kernels(
+            Q, sr_eff, self.fmin_t, n_filters, bins_per_octave,
+            norm=basis_norm, topbin_check=False,
+        )
+        self.n_fft = bank.fft_len
+
+        freqs = fmin * 2.0 ** (np.arange(n_bins) / np.double(bins_per_octave))
+        self.frequencies = freqs
+        self._register("lenghts", np.ceil(Q * sr_eff / freqs).astype(np.float32))
+        self._register("cqt_kernels_real", bank.kernels.real.astype(np.float32),
+                       trainable=trainable)
+        self._register("cqt_kernels_imag", bank.kernels.imag.astype(np.float32),
+                       trainable=trainable)
+
+    def _octave_cqt(self, params, x, hop):
+        """Time-domain octave CQT — the reference's ``get_cqt_complex``
+        (utils.py:498-521): real = conv(kr), imag = -conv(ki)."""
+        x = _center_pad(x, self.n_fft // 2, self.pad_mode)
+        real, imag_raw = framed_basis_pair(
+            x, params["cqt_kernels_real"], params["cqt_kernels_imag"], hop
+        )
+        return real, -imag_raw
+
+    def _forward(self, params, x, output_format=None, normalization_type="librosa"):
+        output_format = output_format or self.output_format
+        _check_norm_type(normalization_type)
+        x = broadcast_dim(x)
+        if self.earlydownsample:
+            x = downsample_by_n(
+                x, params["early_downsample_filter"], int(self.downsample_factor)
+            )
+        hop = self.hop_length
+        real, imag = self._octave_cqt(params, x, hop)
+
+        x_down = x
+        for _ in range(self.n_octaves - 1):
+            hop = hop // 2
+            x_down = downsample_by_n(x_down, params["lowpass_filter"], 2)
+            r1, i1 = self._octave_cqt(params, x_down, hop)
+            real = jnp.concatenate((r1, real), axis=1)
+            imag = jnp.concatenate((i1, imag), axis=1)
+
+        real, imag = real[:, -self.n_bins :], imag[:, -self.n_bins :]
+        real = real * self.downsample_factor
+        imag = imag * self.downsample_factor
+
+        if normalization_type == "librosa":
+            scale = jnp.sqrt(params["lenghts"])[None, :, None]
+            real, imag = real * scale, imag * scale
+        elif normalization_type == "wrap":
+            real, imag = real * 2, imag * 2
+
+        return _cqt_output(real, imag, output_format, trainable=self.trainable)
+
+    def __call__(self, x, output_format=None, normalization_type="librosa"):
+        return self.apply(
+            None, x, output_format=output_format or self.output_format,
+            normalization_type=normalization_type,
+        )
+
+    def extra_repr(self) -> str:
+        return "CQT kernel size = {}, octaves = {}, trainable = {}".format(
+            tuple(self._params["cqt_kernels_real"].shape),
+            self.n_octaves,
+            self.trainable,
+        )

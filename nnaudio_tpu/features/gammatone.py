@@ -1,0 +1,79 @@
+"""Gammatonegram: STFT-magnitude^power projected onto an ERB gammatone bank.
+
+TPU-native rebuild of ``/root/reference/Installation/nnAudio/features/gammatone.py``:
+identical composite shape to MelSpectrogram but with the 4th-order gammatone
+filterbank (``get_gammatone``, librosa_functions.py:153-198). Defaults preserve
+the reference's actual (not docstring) value ``n_bins=64`` (gammatone.py:98).
+"""
+from __future__ import annotations
+
+from ..core.apply import project
+from ..core.frame import broadcast_dim
+from ..filters.gammatone import gammatone_filterbank
+from .base import SpectralTransform
+from .stft import STFT
+
+
+class Gammatonegram(SpectralTransform):
+    """Output shape ``(B, n_bins, T)``; ``trainable_bins`` / ``trainable_STFT``
+    switches mirror the reference (gammatone.py:159-169)."""
+
+    def __init__(
+        self,
+        sr: float = 22050,
+        n_fft: int = 2048,
+        win_length: int | None = None,
+        n_bins: int = 64,
+        hop_length: int = 512,
+        window: str = "hann",
+        center: bool = True,
+        pad_mode: str = "reflect",
+        power: float = 2.0,
+        htk: bool = False,
+        fmin: float = 0.0,
+        fmax: float | None = None,
+        norm=1,
+        trainable_bins: bool = False,
+        trainable_STFT: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ):
+        super().__init__()
+        self.power = power
+        self.trainable_bins = trainable_bins
+        self.trainable_STFT = trainable_STFT
+
+        self.stft = STFT(
+            n_fft=n_fft,
+            win_length=win_length,
+            freq_bins=None,
+            hop_length=hop_length,
+            window=window,
+            freq_scale="no",
+            center=center,
+            pad_mode=pad_mode,
+            sr=sr,
+            trainable=trainable_STFT,
+            output_format="Magnitude",
+            verbose=verbose,
+            **kwargs,
+        )
+        for name in ("wsin", "wcos"):
+            self._register(name, self.stft._params[name], trainable=trainable_STFT)
+
+        basis = gammatone_filterbank(sr, n_fft, n_bins, fmin=fmin, fmax=fmax)
+        self._register("gammatone_basis", basis, trainable=trainable_bins)
+        self._verbose_print(
+            verbose, f"Gammatone filter created: {basis.shape} (n_bins={n_bins})"
+        )
+
+    def _forward(self, params, x):
+        x = broadcast_dim(x)
+        spec = self.stft._forward(params, x, output_format="Magnitude")
+        spec = spec ** self.power
+        return project(params["gammatone_basis"], spec)
+
+    def extra_repr(self) -> str:
+        return "Gammatone filter banks size = {}, trainable_bins={}".format(
+            tuple(self._params["gammatone_basis"].shape), self.trainable_bins
+        )

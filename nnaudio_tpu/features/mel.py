@@ -1,0 +1,151 @@
+"""Mel-filterbank composites: MelSpectrogram and MFCC.
+
+TPU-native rebuild of ``/root/reference/Installation/nnAudio/features/mel.py``:
+the STFT magnitude is a framed basis matmul (see ``features/stft.py``); the mel
+projection is a second MXU matmul with the (trainable) filterbank
+(reference ``mel.py:188``); the MFCC's DCT-II is an explicit basis matmul
+instead of the reference's even/odd-shuffle FFT trick (``mel.py:281-307``) —
+a dense ``(n_mels, n_mels)`` contraction is MXU-friendly and trivially
+trainable, and is numerically identical to the ortho-normalized DCT-II.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.apply import project
+from ..core.frame import broadcast_dim
+from ..filters.mel import dct_matrix, mel_filterbank
+from .base import SpectralTransform
+from .stft import STFT
+
+
+class MelSpectrogram(SpectralTransform):
+    """STFT-magnitude^power projected onto a Mel filterbank.
+
+    Argument and behavior parity with the reference class (``mel.py:9-194``):
+    defaults ``sr=22050, n_fft=2048, n_mels=128, hop_length=512``, Slaney mel
+    scale (``htk=False``) with area normalization (``norm=1``), and the
+    ``trainable_mel`` / ``trainable_STFT`` switches. Output shape
+    ``(B, n_mels, T)``.
+    """
+
+    def __init__(
+        self,
+        sr: float = 22050,
+        n_fft: int = 2048,
+        win_length: int | None = None,
+        n_mels: int = 128,
+        hop_length: int = 512,
+        window: str = "hann",
+        center: bool = True,
+        pad_mode: str = "reflect",
+        power: float = 2.0,
+        htk: bool = False,
+        fmin: float = 0.0,
+        fmax: float | None = None,
+        norm=1,
+        trainable_mel: bool = False,
+        trainable_STFT: bool = False,
+        verbose: bool = True,
+        **kwargs,
+    ):
+        super().__init__()
+        self.power = power
+        self.trainable_mel = trainable_mel
+        self.trainable_STFT = trainable_STFT
+
+        self.stft = STFT(
+            n_fft=n_fft,
+            win_length=win_length,
+            freq_bins=None,
+            hop_length=hop_length,
+            window=window,
+            freq_scale="no",
+            center=center,
+            pad_mode=pad_mode,
+            sr=sr,
+            trainable=trainable_STFT,
+            output_format="Magnitude",
+            verbose=verbose,
+            **kwargs,
+        )
+        # expose the STFT kernels in this transform's own pytree so a single
+        # params dict drives the whole composite under jax.grad
+        for name in ("wsin", "wcos"):
+            self._register(name, self.stft._params[name], trainable=trainable_STFT)
+
+        basis = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk, norm=norm)
+        self._register("mel_basis", basis, trainable=trainable_mel)
+        self._verbose_print(
+            verbose, f"Mel filter created: {basis.shape} (n_mels={n_mels})"
+        )
+
+    def _forward(self, params, x):
+        x = broadcast_dim(x)
+        spec = self.stft._forward(params, x, output_format="Magnitude")
+        spec = spec ** self.power
+        return project(params["mel_basis"], spec)
+
+    def extra_repr(self) -> str:
+        return "Mel filter banks size = {}, trainable_mel={}".format(
+            tuple(self._params["mel_basis"].shape), self.trainable_mel
+        )
+
+
+class MFCC(SpectralTransform):
+    """MelSpectrogram → power-to-dB → DCT-II basis matmul → top ``n_mfcc``.
+
+    Parity with the reference (``mel.py:197-329``): ``ref``/``amin``/``top_db``
+    semantics of ``_power_to_db`` including the **batchwise** max clamp
+    (``mel.py:276-277``), ortho-normalized type-II DCT, default ``n_mfcc=20``.
+    Output shape ``(B, n_mfcc, T)``.
+    """
+
+    def __init__(
+        self,
+        sr: float = 22050,
+        n_mfcc: int = 20,
+        norm: str = "ortho",
+        verbose: bool = True,
+        ref: float = 1.0,
+        amin: float = 1e-10,
+        top_db: float | None = 80.0,
+        **kwargs,
+    ):
+        super().__init__()
+        if amin <= 0:
+            raise ValueError("amin must be strictly positive")
+        if top_db is not None and top_db < 0:
+            raise ValueError("top_db must be non-negative")
+        self.n_mfcc = n_mfcc
+        self.amin = float(amin)
+        self.ref = abs(float(ref))
+        self.top_db = top_db
+
+        self.melspec_layer = MelSpectrogram(sr=sr, verbose=verbose, **kwargs)
+        self._params.update(self.melspec_layer._params)
+        self._trainable.update(self.melspec_layer._trainable)
+
+        n_mels = self.melspec_layer._params["mel_basis"].shape[0]
+        # full square DCT basis: the reference computes all n_mels
+        # coefficients then crops (mel.py:325); keep rows trainable-ready
+        self._register("dct_basis", dct_matrix(n_mels, n_mels, norm=norm))
+
+    def _power_to_db(self, S):
+        amin = jnp.asarray(self.amin, dtype=S.dtype)
+        log_spec = 10.0 * jnp.log10(jnp.maximum(S, amin))
+        log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, jnp.asarray(self.ref, S.dtype)))
+        if self.top_db is not None:
+            batch_max = jnp.max(log_spec.reshape(log_spec.shape[0], -1), axis=1)
+            log_spec = jnp.maximum(log_spec, batch_max[:, None, None] - self.top_db)
+        return log_spec
+
+    def _forward(self, params, x):
+        mel = self.melspec_layer._forward(params, x)
+        db = self._power_to_db(mel)
+        mfcc = project(params["dct_basis"], db)
+        return mfcc[:, : self.n_mfcc, :]
+
+    def extra_repr(self) -> str:
+        return f"n_mfcc = {self.n_mfcc}"

@@ -1,0 +1,179 @@
+"""Variable-Q transform: the 2010v2 pyramid with gamma-widened low bins.
+
+TPU-native rebuild of ``/root/reference/Installation/nnAudio/features/vqt.py``:
+``gamma > 0`` lengthens low-frequency windows
+(``lengths = ceil(Q*fs/(freqs + gamma/alpha))``, utils.py:444), so unlike
+CQT2010v2 each octave gets its **own kernel bank** built at that octave's
+rate (vqt.py:121-140). ``VQT(gamma=0)`` is numerically identical to
+``CQT2010v2`` (test_vqt.py:29-41), a property our tests enforce.
+
+Faithfully replicated reference quirks:
+- per-octave kernels are built from the **original** ``sr`` (``my_sr =
+  self.sr``, vqt.py:120) even when early downsampling rescaled the signal —
+  whereas the normalization ``lenghts`` use the downsampled rate
+  (vqt.py:110); with default parameters early downsampling is inactive so
+  the two agree.
+- the ``trainable`` flag only toggles the magnitude epsilon; kernels are
+  always frozen buffers (vqt.py:136-140).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.frame import broadcast_dim
+from ..core.resample import downsample_by_n
+from ..filters.cqt import create_cqt_kernels, create_lowpass_filter, early_downsample_params
+from ..ops.dispatch import framed_basis_pair
+from .base import SpectralTransform
+from .cqt import _center_pad, _check_norm_type, _cqt_output
+
+
+class VQT(SpectralTransform):
+    """Defaults: ``sr=22050, hop_length=512, fmin=32.70, n_bins=84,
+    bins_per_octave=12, gamma=0, earlydownsample=True``.
+    Output: ``(B, n_bins, T)`` Magnitude, ``(B, n_bins, T, 2)`` Complex/Phase.
+    """
+
+    def __init__(
+        self,
+        sr: float = 22050,
+        hop_length: int = 512,
+        fmin: float = 32.70,
+        fmax: float | None = None,
+        n_bins: int = 84,
+        filter_scale: float = 1,
+        bins_per_octave: int = 12,
+        norm: bool = True,
+        basis_norm: float = 1,
+        gamma: float = 0,
+        window: str = "hann",
+        pad_mode: str = "reflect",
+        earlydownsample: bool = True,
+        trainable: bool = False,
+        output_format: str = "Magnitude",
+        verbose: bool = True,
+    ):
+        super().__init__()
+        self.norm = norm
+        self.hop_length = hop_length
+        self.pad_mode = pad_mode
+        self.n_bins = n_bins
+        self.trainable = trainable
+        self.output_format = output_format
+        self.sr = sr
+        self.gamma = gamma
+
+        Q = float(filter_scale) / (2 ** (1 / bins_per_octave) - 1)
+        self._register(
+            "lowpass_filter",
+            create_lowpass_filter(
+                band_center=0.5, kernel_length=256, transition_bandwidth=0.001
+            ),
+        )
+
+        n_filters = min(bins_per_octave, n_bins)
+        self.n_octaves = int(np.ceil(float(n_bins) / bins_per_octave))
+        self._verbose_print(verbose, f"num_octave = {self.n_octaves}")
+
+        self.fmin_t = fmin * 2 ** (self.n_octaves - 1)
+        remainder = n_bins % bins_per_octave
+        if remainder == 0:
+            fmax_t = self.fmin_t * 2 ** ((bins_per_octave - 1) / bins_per_octave)
+        else:
+            fmax_t = self.fmin_t * 2 ** ((remainder - 1) / bins_per_octave)
+        self.fmin_t = fmax_t / 2 ** (1 - 1 / bins_per_octave)
+        if fmax_t > sr / 2:
+            raise ValueError(
+                f"The top bin {fmax_t}Hz has exceeded the Nyquist frequency, "
+                "please reduce the n_bins"
+            )
+
+        sr_eff = sr
+        if earlydownsample:
+            new_sr, new_hop, factor, filt, active = early_downsample_params(
+                sr, hop_length, fmax_t, Q, self.n_octaves
+            )
+            self.earlydownsample = active
+            self.downsample_factor = factor
+            if active:
+                sr_eff, self.hop_length = new_sr, new_hop
+                self._register("early_downsample_filter", filt)
+        else:
+            self.earlydownsample = False
+            self.downsample_factor = 1.0
+
+        alpha = 2.0 ** (1.0 / bins_per_octave) - 1.0
+        freqs = fmin * 2.0 ** (np.arange(n_bins) / np.double(bins_per_octave))
+        self.frequencies = freqs
+        lengths = np.ceil(Q * sr_eff / (freqs + gamma / alpha))
+        self._register("lenghts", lengths.astype(np.float32))
+
+        # one kernel bank per octave at successively halved rates; note the
+        # reference seeds this from the ORIGINAL sr (vqt.py:120)
+        self._octave_widths: list[int] = []
+        my_sr = float(self.sr)
+        for i in range(self.n_octaves):
+            if i > 0:
+                my_sr /= 2
+            bank = create_cqt_kernels(
+                Q,
+                my_sr,
+                self.fmin_t * 2 ** -i,
+                n_filters,
+                bins_per_octave,
+                norm=basis_norm,
+                topbin_check=False,
+                gamma=gamma,
+            )
+            self._octave_widths.append(bank.fft_len)
+            self._register(f"cqt_kernels_real_{i}", bank.kernels.real.astype(np.float32))
+            self._register(f"cqt_kernels_imag_{i}", bank.kernels.imag.astype(np.float32))
+
+    def _forward(self, params, x, output_format=None, normalization_type="librosa"):
+        output_format = output_format or self.output_format
+        _check_norm_type(normalization_type)
+        x = broadcast_dim(x)
+        if self.earlydownsample:
+            x = downsample_by_n(
+                x, params["early_downsample_filter"], int(self.downsample_factor)
+            )
+        hop = self.hop_length
+
+        reals, imags = [], []
+        x_down = x
+        for i in range(self.n_octaves):
+            if i > 0:
+                x_down = downsample_by_n(x_down, params["lowpass_filter"], 2)
+                hop //= 2
+            pad = self._octave_widths[i] // 2
+            xo = _center_pad(x_down, pad, self.pad_mode)
+            real, imag_raw = framed_basis_pair(
+                xo, params[f"cqt_kernels_real_{i}"], params[f"cqt_kernels_imag_{i}"], hop
+            )
+            reals.insert(0, real)
+            imags.insert(0, -imag_raw)
+
+        real = jnp.concatenate(reals, axis=1)[:, -self.n_bins :]
+        imag = jnp.concatenate(imags, axis=1)[:, -self.n_bins :]
+        real = real * self.downsample_factor
+        imag = imag * self.downsample_factor
+
+        if normalization_type == "librosa":
+            scale = jnp.sqrt(params["lenghts"])[None, :, None]
+            real, imag = real * scale, imag * scale
+        elif normalization_type == "wrap":
+            real, imag = real * 2, imag * 2
+
+        return _cqt_output(real, imag, output_format, trainable=self.trainable)
+
+    def __call__(self, x, output_format=None, normalization_type="librosa"):
+        return self.apply(
+            None, x, output_format=output_format or self.output_format,
+            normalization_type=normalization_type,
+        )
+
+    def extra_repr(self) -> str:
+        return "VQT octaves = {}, gamma = {}, widths = {}".format(
+            self.n_octaves, self.gamma, self._octave_widths
+        )

@@ -108,8 +108,11 @@ def create_lowpass_filter(
 
 
 def next_pow2_exponent(a: float) -> int:
-    """ceil(log2(a)) — matches the (misnamed) reference ``nextpow2`` (utils.py:128)."""
-    return int(np.ceil(np.log2(a)))
+    """floor(log2(a)) — matches the (misnamed, mis-documented) reference
+    ``nextpow2``, whose body is ``int(np.floor(np.log2(A)))`` (utils.py:172)
+    despite the docstring claiming ceil. The floor semantics feed the
+    early-downsample count, so parity requires replicating it exactly."""
+    return int(np.floor(np.log2(a)))
 
 
 def early_downsample_count(

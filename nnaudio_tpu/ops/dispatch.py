@@ -20,7 +20,10 @@ from ..core.frame import frame_signal, frames_to_signal
 
 def _xla_pair(x, wcos, wsin, hop):
     n_fft = wcos.shape[-1]
-    if n_fft % hop == 0 and hop >= 1:
+    # hop-decomposition emits n_fft/hop chunked matmuls; past ~32 chunks
+    # (deep CQT-pyramid octaves with tiny hops) the unrolled graph compiles
+    # slower than the gather path runs — gather instead.
+    if n_fft % hop == 0 and hop >= 1 and n_fft // hop <= 32:
         # gather-free hop-decomposition: view x as (rows, hop); frame t is
         # rows t..t+n_fft/hop-1, so Y = sum_c x2[:, c:c+T] @ W[:, c*hop:(c+1)*hop]^T.
         # Compiles and runs much faster than a (T, n_fft) gather on TPU.

@@ -2,15 +2,25 @@
 
 Computes ``Y[b, f, t] = sum_s x[b, t*hop + s] * W[f, s]`` for the cos and sin
 bases in one pass, without materializing the ``(B, T, n_fft)`` frame tensor in
-HBM (the XLA gather path duplicates every sample ``n_fft/hop`` times — 4x HBM
-read traffic at the default hop).
+HBM (both the XLA gather path and the hop-decomposition path re-read every
+sample ``n_fft/hop`` times — 4x HBM read traffic at the default hop).
 
 Strategy (hop-decomposition): view the signal as ``(rows, hop)``; frame ``t``
-is rows ``t .. t + n_fft/hop - 1`` concatenated. Each grid program DMAs the
-``(tile_t + n_fft/hop - 1, hop)`` slab covering its ``tile_t`` frames from HBM
-into VMEM, assembles the local ``(tile_t, n_fft)`` frame matrix from static
-row-shifted slices (dense copies, no gather), and runs two MXU matmuls
-against the transposed bases.
+is rows ``t .. t + n_fft/hop - 1`` concatenated. Grid is
+``(batch, time_tiles, freq_tiles)`` with the frequency axis innermost:
+
+- the ``(tile_t + n_fft/hop - 1, hop)`` signal slab covering a time tile is
+  DMA'd manually from HBM into persistent VMEM scratch **once per time tile**
+  (slabs of neighbouring tiles overlap, which BlockSpec block indexing cannot
+  express) and reused across all frequency tiles;
+- the transposed bases stream through BlockSpec-managed ``(n_fft, tile_f)``
+  VMEM blocks (auto double-buffered by the pipeline);
+- each step accumulates ``n_chunks`` MXU matmuls, one per hop-row shift — no
+  frame matrix is ever formed, in VMEM or HBM.
+
+The supported() gate keeps every resident buffer within the VMEM budget;
+outside the envelope the dispatcher falls back to the XLA hop-decomposition
+path (ops/dispatch.py).
 """
 from __future__ import annotations
 
@@ -21,56 +31,69 @@ import jax.numpy as jnp
 
 _INTERPRET = False  # flipped by tests to exercise the kernel on CPU
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16MB/core VMEM
 
-def _fused_kernel(
-    x_hbm, wcos_ref, wsin_ref, real_ref, imag_ref, *, hop, n_fft, tile_t
-):
+
+def _pick_tiles(n_fft: int, f: int, t_total: int, hop: int):
+    """Choose (tile_t, tile_f) so slab + 2 double-buffered basis blocks + two
+    output blocks fit the VMEM budget. Returns None when impossible."""
+    n_chunks = n_fft // hop
+    tile_f = min(512, -(-f // 128) * 128)
+    tile_t = min(256, -(-t_total // 8) * 8)
+    while tile_f >= 128:
+        slab_rows = -(-(tile_t + n_chunks - 1) // 8) * 8
+        slab = slab_rows * hop * 4
+        bases = 2 * 2 * n_fft * tile_f * 4  # two bases, double buffered
+        outs = 2 * 2 * tile_t * tile_f * 4
+        if slab + bases + outs <= _VMEM_BUDGET:
+            return tile_t, tile_f
+        tile_f //= 2
+    return None
+
+
+def _fused_kernel(x_hbm, wcos_ref, wsin_ref, real_ref, imag_ref, slab, sem,
+                  *, hop, n_fft, tile_t):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
     j = pl.program_id(1)
+    k = pl.program_id(2)
     n_chunks = n_fft // hop
-    # slab rows padded to a sublane multiple (DMA slices must be 8-aligned)
-    rows = -(-(tile_t + n_chunks - 1) // 8) * 8
+    rows = slab.shape[0]
 
-    def body(slab, sem):
+    # one slab DMA per (batch, time-tile); freq tiles (innermost) reuse it
+    @pl.when(k == 0)
+    def _load_slab():
+        from jax.experimental.pallas import tpu as pltpu
+
         dma = pltpu.make_async_copy(
             x_hbm.at[i, pl.ds(j * tile_t, rows), :], slab, sem
         )
         dma.start()
         dma.wait()
-        # frame t = concat(slab[t+c, :] for c in range(n_chunks)); instead of
-        # materializing the concatenated frame matrix, accumulate the matmul
-        # chunk by chunk: Y = sum_c slab[c:c+tile_t] @ W[c*hop:(c+1)*hop]
-        real_acc = jnp.zeros((tile_t, wcos_ref.shape[1]), jnp.float32)
-        imag_acc = jnp.zeros((tile_t, wsin_ref.shape[1]), jnp.float32)
-        for c in range(n_chunks):
-            chunk = slab[c : c + tile_t, :]
-            real_acc = real_acc + jnp.dot(
-                chunk,
-                wcos_ref[c * hop : (c + 1) * hop, :],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            imag_acc = imag_acc + jnp.dot(
-                chunk,
-                wsin_ref[c * hop : (c + 1) * hop, :],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        real_ref[0, :, :] = real_acc
-        imag_ref[0, :, :] = imag_acc
 
-    pl.run_scoped(
-        body,
-        slab=pltpu.VMEM((rows, hop), jnp.float32),
-        sem=pltpu.SemaphoreType.DMA(()),
-    )
+    # frame t = concat(slab[t+c, :] for c in range(n_chunks)); accumulate the
+    # matmul chunk by chunk instead of materializing the frame matrix
+    real_acc = jnp.zeros((tile_t, wcos_ref.shape[1]), jnp.float32)
+    imag_acc = jnp.zeros((tile_t, wsin_ref.shape[1]), jnp.float32)
+    for c in range(n_chunks):
+        chunk = slab[c : c + tile_t, :]
+        real_acc = real_acc + jnp.dot(
+            chunk, wcos_ref[c * hop : (c + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        imag_acc = imag_acc + jnp.dot(
+            chunk, wsin_ref[c * hop : (c + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    real_ref[0, :, :] = real_acc
+    imag_ref[0, :, :] = imag_acc
 
 
-@functools.partial(jax.jit, static_argnames=("hop",))
-def _framed_matmul_pair(x, wcos_t, wsin_t, hop):
+@functools.partial(jax.jit, static_argnames=("hop", "tile_t", "tile_f"))
+def _framed_matmul_pair(x, wcos_t, wsin_t, hop, tile_t, tile_f):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -79,11 +102,17 @@ def _framed_matmul_pair(x, wcos_t, wsin_t, hop):
     n_chunks = n_fft // hop
     t_total = (length - n_fft) // hop + 1
 
-    tile_t = min(256, -(-t_total // 8) * 8)
     t_pad = -t_total % tile_t
-    n_tiles = (t_total + t_pad) // tile_t
+    n_t_tiles = (t_total + t_pad) // tile_t
+    f_pad = -f % tile_f
+    n_f_tiles = (f + f_pad) // tile_f
+    if f_pad:
+        wcos_t = jnp.pad(wcos_t, ((0, 0), (0, f_pad)))
+        wsin_t = jnp.pad(wsin_t, ((0, 0), (0, f_pad)))
+    f_padded = f + f_pad
+
     slab_rows = -(-(tile_t + n_chunks - 1) // 8) * 8
-    rows_needed = (n_tiles - 1) * tile_t + slab_rows
+    rows_needed = (n_t_tiles - 1) * tile_t + slab_rows
     need = rows_needed * hop
     if need > length:
         x = jnp.pad(x, ((0, 0), (0, need - length)))
@@ -92,38 +121,55 @@ def _framed_matmul_pair(x, wcos_t, wsin_t, hop):
     kern = functools.partial(_fused_kernel, hop=hop, n_fft=n_fft, tile_t=tile_t)
     real, imag = pl.pallas_call(
         kern,
-        grid=(b, n_tiles),
+        grid=(b, n_t_tiles, n_f_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((n_fft, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_t, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, tile_f), lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, tile_f), lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_tiles * tile_t, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_tiles * tile_t, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_t_tiles * tile_t, f_padded), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_t_tiles * tile_t, f_padded), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * t_total * f * n_fft,
+            bytes_accessed=(b * need + 2 * n_fft * f_padded * n_f_tiles
+                            + 2 * b * t_total * f) * 4,
+            transcendentals=0,
+        ),
         interpret=_INTERPRET,
     )(x2, wcos_t, wsin_t)
-    real = jnp.swapaxes(real[:, :t_total, :], 1, 2)
-    imag = jnp.swapaxes(imag[:, :t_total, :], 1, 2)
+    real = jnp.swapaxes(real[:, :t_total, :f], 1, 2)
+    imag = jnp.swapaxes(imag[:, :t_total, :f], 1, 2)
     return real, imag
 
 
 def framed_matmul_pair_supported(x, wcos, hop) -> bool:
     n_fft = wcos.shape[-1]
     length = x.shape[-1]
-    return (
+    if not (
         x.dtype == jnp.float32
         and x.ndim == 2
         and hop > 0
         and n_fft % hop == 0
         and hop % 128 == 0  # slab lane dim must be 128-aligned for DMA slices
         and length >= n_fft
-    )
+    ):
+        return False
+    t_total = (length - n_fft) // hop + 1
+    return _pick_tiles(n_fft, wcos.shape[0], t_total, hop) is not None
 
 
 def framed_matmul_pair_pallas(x, wcos, wsin, hop):
@@ -131,6 +177,9 @@ def framed_matmul_pair_pallas(x, wcos, wsin, hop):
     configuration is outside the kernel's supported envelope."""
     if not framed_matmul_pair_supported(x, wcos, hop):
         return None
+    n_fft, f = wcos.shape[-1], wcos.shape[0]
+    t_total = (x.shape[-1] - n_fft) // hop + 1
+    tile_t, tile_f = _pick_tiles(n_fft, f, t_total, hop)
     wcos_t = jnp.asarray(wcos, jnp.float32).T
     wsin_t = jnp.asarray(wsin, jnp.float32).T
-    return _framed_matmul_pair(x, wcos_t, wsin_t, hop)
+    return _framed_matmul_pair(x, wcos_t, wsin_t, hop, tile_t, tile_f)

@@ -1,0 +1,103 @@
+"""Host-side basis builders: golden checks against scipy/explicit formulas."""
+import numpy as np
+import pytest
+from scipy.signal import get_window
+
+from nnaudio_tpu.filters.fourier import create_fourier_basis, fourier_bin_positions
+from nnaudio_tpu.filters.cqt import (
+    create_cqt_kernels,
+    create_lowpass_filter,
+    early_downsample_params,
+    next_pow2_exponent,
+)
+from nnaudio_tpu.filters.windows import pad_center, window_dispatch
+
+
+def test_fourier_basis_is_dft():
+    basis = create_fourier_basis(64, window="ones")
+    n = np.arange(64)
+    for k in [0, 1, 7, 32]:
+        assert np.allclose(basis.wcos[k], np.cos(2 * np.pi * k * n / 64), atol=1e-6)
+        assert np.allclose(basis.wsin[k], np.sin(2 * np.pi * k * n / 64), atol=1e-6)
+
+
+def test_fourier_bin_positions_scales():
+    lin = fourier_bin_positions(1024, 128, 50, 6000, 22050, "linear")
+    assert np.isclose(lin[0], 50 * 1024 / 22050)
+    log = fourier_bin_positions(1024, 128, 50, 6000, 22050, "log")
+    assert np.isclose(log[0], 50 * 1024 / 22050)
+    ratios = log[1:] / log[:-1]
+    assert np.allclose(ratios, ratios[0])  # geometric spacing
+    no = fourier_bin_positions(1024, 513, 50, 6000, 22050, "no")
+    assert np.array_equal(no, np.arange(513))
+
+
+def test_window_dispatch_variants():
+    assert np.allclose(window_dispatch("hann", 64), get_window("hann", 64))
+    g = window_dispatch(("gaussian", 60.0), 64)
+    assert g.shape == (64,) and g.max() <= 1.0
+    k = window_dispatch(8.6, 64)
+    assert np.allclose(k, get_window(8.6, 64))
+    with pytest.raises(TypeError):
+        window_dispatch([1, 2], 64)
+
+
+def test_pad_center():
+    w = np.ones(10)
+    p = pad_center(w, 16)
+    assert p.shape == (16,)
+    assert p[3] == 1 and p[2] == 0 and p[13] == 0 and p[12] == 1
+    with pytest.raises(ValueError):
+        pad_center(w, 5)
+
+
+def test_cqt_kernels_properties():
+    Q = 1.0 / (2 ** (1 / 12) - 1)
+    bank = create_cqt_kernels(Q, 22050, 32.70, 84, 12, 1, "hann", None)
+    assert bank.kernels.shape[0] == 84
+    assert bank.fft_len == 2 ** int(np.ceil(np.log2(bank.lengths.max())))
+    # L1 norm = 1 per kernel (norm=1)
+    l1 = np.abs(bank.kernels).sum(axis=1)
+    assert np.allclose(l1, 1.0, atol=1e-4)
+    # center frequency: peak of |FFT| at freq * fft_len / fs
+    k = 83
+    spec = np.abs(np.fft.fft(bank.kernels[k]))
+    peak = spec[: bank.fft_len // 2].argmax()
+    expected = bank.freqs[k] * bank.fft_len / 22050
+    assert abs(peak - expected) <= 1.0
+
+
+def test_cqt_nyquist_check():
+    Q = 1.0 / (2 ** (1 / 12) - 1)
+    with pytest.raises(ValueError):
+        create_cqt_kernels(Q, 22050, 220, 84, 12, 1, "hann", None)
+
+
+def test_lowpass_filter_response():
+    fir = create_lowpass_filter(0.5, 256, 0.001)
+    w = np.fft.rfft(fir, 4096)
+    freqs = np.linspace(0, 1, len(w))  # in units of Nyquist
+    assert np.abs(w)[freqs < 0.4].min() > 0.9
+    assert np.abs(w)[freqs > 0.6].max() < 0.1
+
+
+def test_next_pow2_is_floor():
+    # parity with reference nextpow2 = floor(log2) (utils.py:172)
+    assert next_pow2_exponent(6) == 2
+    assert next_pow2_exponent(512) == 9
+    assert next_pow2_exponent(513) == 9
+
+
+def test_early_downsample_params():
+    Q = 1.0 / (2 ** (1 / 12) - 1)
+    # default CQT2010v2 config: no early downsampling possible
+    sr, hop, factor, filt, active = early_downsample_params(
+        22050, 512, 3951.0, Q, 7
+    )
+    assert factor == 1 and not active
+    # low fmax_t with generous hop: downsampling kicks in
+    sr, hop, factor, filt, active = early_downsample_params(
+        22050, 512, 500.0, Q, 3
+    )
+    assert active and factor > 1 and hop == 512 // factor
+    assert filt is not None

@@ -1,0 +1,54 @@
+"""Griffin-Lim phase recovery: reconstruction quality on structured signals.
+
+The reference has no numerical GL test; acceptance here is reconstruction SNR
+on a magnitude spectrogram of a known harmonic signal (SURVEY.md §7: "Griffin-
+Lim parity: acceptance is reconstruction SNR, not bitwise match").
+"""
+import numpy as np
+import jax
+
+from nnaudio_tpu import features
+
+
+def _sine_mixture(sr=16000, dur=1.0):
+    t = np.arange(int(sr * dur)) / sr
+    x = (np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 880 * t)
+         + 0.25 * np.sin(2 * np.pi * 1320 * t))
+    return (x / np.abs(x).max()).astype(np.float32)
+
+
+def test_griffin_lim_reconstruction_snr():
+    n_fft, hop = 1024, 256
+    x = _sine_mixture()
+    stft = features.STFT(n_fft=n_fft, hop_length=hop, output_format="Magnitude",
+                         verbose=False)
+    S = stft(x[None])
+    gl = features.Griffin_Lim(n_fft=n_fft, hop_length=hop, n_iter=32)
+    rec = np.asarray(gl(S, key=jax.random.PRNGKey(42)))[0]
+
+    # compare magnitude spectrograms (phase-free criterion)
+    S_rec = np.asarray(stft(rec[None]))[0]
+    S_in = np.asarray(S)[0][:, : S_rec.shape[1]]
+    S_rec = S_rec[:, : S_in.shape[1]]
+    err = np.linalg.norm(S_rec - S_in) / np.linalg.norm(S_in)
+    assert err < 0.15, err
+
+
+def test_griffin_lim_deterministic_given_key():
+    x = _sine_mixture(dur=0.25)
+    stft = features.STFT(n_fft=512, hop_length=128, output_format="Magnitude",
+                         verbose=False)
+    S = stft(x[None])
+    gl = features.Griffin_Lim(n_fft=512, hop_length=128, n_iter=8)
+    a = np.asarray(gl(S, key=jax.random.PRNGKey(0)))
+    b = np.asarray(gl(S, key=jax.random.PRNGKey(0)))
+    c = np.asarray(gl(S, key=jax.random.PRNGKey(1)))
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_griffin_lim_output_length():
+    gl = features.Griffin_Lim(n_fft=512, hop_length=128, n_iter=2)
+    S = np.abs(np.random.RandomState(0).randn(2, 257, 21)).astype(np.float32)
+    out = np.asarray(gl(S))
+    assert out.shape == (2, 20 * 128)

@@ -1,0 +1,108 @@
+"""Core ops: framing, overlap-add, dispatch paths, Pallas kernel (interpreted).
+
+The Pallas fused frame+matmul kernel is validated in interpreter mode on CPU
+against the XLA path (SURVEY.md §7 step 8: "validate against the XLA path").
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nnaudio_tpu.core.frame import frame_signal, frames_to_signal, num_frames
+from nnaudio_tpu.core.overlap import extend_fbins, window_sumsquare
+from nnaudio_tpu.ops import dispatch
+from nnaudio_tpu.ops import framed_matmul
+
+
+def test_frame_signal_matches_loop():
+    x = np.arange(32, dtype=np.float32)[None]
+    frames = np.asarray(frame_signal(jnp.asarray(x), 8, 4))
+    assert frames.shape == (1, 7, 8)
+    for t in range(7):
+        assert np.array_equal(frames[0, t], x[0, t * 4 : t * 4 + 8])
+
+
+def test_frames_to_signal_is_adjoint():
+    """<frame(x), F> == <x, frames_to_signal(F)> for random tensors."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64).astype(np.float32))
+    F = jnp.asarray(rng.randn(2, 15, 8).astype(np.float32))
+    lhs = jnp.vdot(frame_signal(x, 8, 4), F)
+    rhs = jnp.vdot(x, frames_to_signal(F, 4, 64))
+    assert np.allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_window_sumsquare_matches_loop():
+    w = jnp.asarray(np.hanning(16).astype(np.float32))
+    got = np.asarray(window_sumsquare(w, 5, 4, 16))
+    want = np.zeros(16 + 4 * 4)
+    for t in range(5):
+        want[t * 4 : t * 4 + 16] += np.asarray(w) ** 2
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_extend_fbins_symmetry():
+    rng = np.random.RandomState(1)
+    X = jnp.asarray(rng.randn(1, 9, 4, 2).astype(np.float32))  # n_fft=16
+    full = np.asarray(extend_fbins(X))
+    assert full.shape == (1, 16, 4, 2)
+    for k in range(1, 8):
+        assert np.allclose(full[:, 16 - k, :, 0], full[:, k, :, 0])
+        assert np.allclose(full[:, 16 - k, :, 1], -full[:, k, :, 1])
+
+
+@pytest.mark.parametrize("n_fft,hop,length", [(256, 64, 2048), (512, 128, 4096),
+                                              (384, 96, 2000)])
+def test_xla_pair_matches_gather_path(n_fft, hop, length):
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, length).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(65, n_fft).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(65, n_fft).astype(np.float32))
+    real, imag = dispatch._xla_pair(x, w1, w2, hop)
+    from nnaudio_tpu.core.apply import apply_basis
+
+    frames = frame_signal(x, n_fft, hop)
+    want_r, want_i = apply_basis(frames, w1), apply_basis(frames, w2)
+    assert np.allclose(real, want_r, rtol=1e-4, atol=1e-4)
+    assert np.allclose(imag, want_i, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_kernel_interpreted_matches_xla():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 4096).astype(np.float32))
+    wcos = jnp.asarray(rng.randn(129, 1024).astype(np.float32))
+    wsin = jnp.asarray(rng.randn(129, 1024).astype(np.float32))
+    hop = 256
+    assert framed_matmul.framed_matmul_pair_supported(x, wcos, hop)
+    framed_matmul._INTERPRET = True
+    try:
+        real_p, imag_p = framed_matmul.framed_matmul_pair_pallas(x, wcos, wsin, hop)
+    finally:
+        framed_matmul._INTERPRET = False
+    real_x, imag_x = dispatch._xla_pair(x, wcos, wsin, hop)
+    assert np.allclose(real_p, real_x, rtol=1e-5, atol=1e-5)
+    assert np.allclose(imag_p, imag_x, rtol=1e-5, atol=1e-5)
+
+
+def test_framed_basis_pair_custom_vjp():
+    """Gradient of the custom-VJP op matches autodiff through the gather path."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+    wcos = jnp.asarray(rng.randn(17, 64).astype(np.float32))
+    wsin = jnp.asarray(rng.randn(17, 64).astype(np.float32))
+
+    def loss_custom(x, wc, ws):
+        r, i = dispatch.framed_basis_pair(x, wc, ws, 16)
+        return jnp.sum(r ** 2) + jnp.sum(i ** 2)
+
+    def loss_ref(x, wc, ws):
+        from nnaudio_tpu.core.apply import apply_basis
+
+        frames = frame_signal(x, 64, 16)
+        r, i = apply_basis(frames, wc), apply_basis(frames, ws)
+        return jnp.sum(r ** 2) + jnp.sum(i ** 2)
+
+    g1 = jax.grad(loss_custom, argnums=(0, 1, 2))(x, wcos, wsin)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, wcos, wsin)
+    for a, b in zip(g1, g2):
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-4)
