@@ -18,8 +18,9 @@ class _Config:
     # jax.lax.Precision for basis matmuls: "highest" (fp32 parity, default)
     # or "default" (bf16 fast mode).
     matmul_precision: str = "highest"
-    # Use fused Pallas kernels on TPU when available.
-    use_pallas: bool = True
+    # Opt-in fused Pallas kernels on TPU. Off by default: the XLA conv path
+    # currently outruns the hand-written kernel (see ops/dispatch.py).
+    use_pallas: bool = False
 
 
 _config = _Config()

@@ -1,10 +1,25 @@
-"""Backend dispatch between the pure-XLA path and fused Pallas TPU kernels.
+"""Backend dispatch for the framed basis-pair contraction (the hot op).
 
-The XLA path (frame gather + einsum) is the correctness reference and works on
-every backend; the Pallas path fuses framing and the basis matmul so frames
-never hit HBM (SURVEY.md §7 step 8). The op carries a custom VJP so trainable
-bases differentiate through either backend: the backward pass is expressed in
-XLA (frame-weighted outer products for dW, overlap-scatter for dx).
+Implementations, all computing ``Y[b,f,t] = sum_s x[b, t*hop+s] * W[f,s]``
+for the cos/sin bases:
+
+- **Hop-decomposition einsum** (default everywhere): view x as (rows, hop)
+  and accumulate ``n_fft/hop`` chunked matmuls — no frame materialization,
+  minimal HBM traffic. Honest v5e measurements at n_fft=2048/hop=512 with the
+  full output consumed (beware: benchmarks whose only consumer is one output
+  element get silently DCE-shrunk by XLA): hopdec 17.7 TFLOP/s fp32-HIGHEST /
+  30.7 fast-mode, gather+matmul 12.9/20.4, `conv_general_dilated` 3.3/7.4
+  (TPU conv+consumer fusion is pathologically slow and ignores
+  optimization_barrier), Pallas fused kernel 13.7 @ HIGHEST.
+- **Gather einsum** fallback when hop doesn't divide n_fft or the chunk count
+  exceeds 32 (deep CQT-pyramid octaves with tiny hops, where the unrolled
+  chunk graph compiles slower than the gather runs).
+- **Pallas fused kernel** (opt-in via ``set_use_pallas(True)``): manual
+  slab-DMA frame+matmul — kept as the base for future fused-epilogue work.
+
+The op carries a custom VJP so trainable bases differentiate identically
+through every backend (frame-weighted outer products for dW, overlap
+scatter-add for dx).
 """
 from __future__ import annotations
 
@@ -26,7 +41,6 @@ def _xla_pair(x, wcos, wsin, hop):
     if n_fft % hop == 0 and hop >= 1 and n_fft // hop <= 32:
         # gather-free hop-decomposition: view x as (rows, hop); frame t is
         # rows t..t+n_fft/hop-1, so Y = sum_c x2[:, c:c+T] @ W[:, c*hop:(c+1)*hop]^T.
-        # Compiles and runs much faster than a (T, n_fft) gather on TPU.
         b, length = x.shape
         t_total = (length - n_fft) // hop + 1
         n_chunks = n_fft // hop
@@ -59,7 +73,7 @@ def framed_basis_pair(x, wcos, wsin, hop):
     projection, matching the reference conv1d pair (stft.py:290-293).
     """
     cfg = get_config()
-    if cfg.use_pallas and on_tpu() and cfg.matmul_precision == "highest":
+    if on_tpu() and cfg.use_pallas and cfg.matmul_precision == "highest":
         from .framed_matmul import framed_matmul_pair_pallas
 
         out = framed_matmul_pair_pallas(x, wcos, wsin, hop)

@@ -1,0 +1,31 @@
+"""Multi-chip scale-out via ``jax.sharding`` (SURVEY.md §2.3).
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+compatibility (test_stft.py:116-141). The TPU-native equivalents here are
+strictly stronger:
+
+- :func:`make_mesh` / :func:`data_parallel` — batch-axis (DP) sharding over a
+  ``("data", "model")`` mesh; XLA inserts all communication.
+- :func:`shard_kernel_bank` — tensor-parallel frequency-bank sharding: basis
+  rows split across the ``model`` axis; disjoint rows need no reduction, the
+  output spectrogram comes out frequency-sharded.
+- :mod:`timeshard` — sequence-parallel long-audio STFT/iSTFT: the time axis is
+  sharded across chips with ``(n_fft - hop)``-sample halo exchange over ICI
+  (``lax.ppermute``); the inverse does the mirrored halo reduction.
+"""
+from .mesh import make_mesh, local_batch_sharding, replicate
+from .data import data_parallel, shard_batch
+from .bank import shard_kernel_bank, bank_sharded_apply
+from .timeshard import time_sharded_stft, time_sharded_istft
+
+__all__ = [
+    "make_mesh",
+    "local_batch_sharding",
+    "replicate",
+    "data_parallel",
+    "shard_batch",
+    "shard_kernel_bank",
+    "bank_sharded_apply",
+    "time_sharded_stft",
+    "time_sharded_istft",
+]

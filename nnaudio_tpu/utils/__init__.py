@@ -1,0 +1,11 @@
+"""Auxiliary subsystems: checkpointing and profiling (SURVEY.md §5).
+
+The reference gets checkpointing for free from ``nn.Module.state_dict``; here
+every transform is a pytree of arrays, saved with orbax (or a plain ``.npz``
+fallback). Profiling wraps ``jax.profiler`` traces — the reference only has
+``verbose`` wall-clock prints at construction time.
+"""
+from .checkpoint import load_params, restore_transform, save_params
+from .profiling import trace
+
+__all__ = ["save_params", "load_params", "restore_transform", "trace"]

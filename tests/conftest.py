@@ -8,9 +8,6 @@ in tens of seconds cold).
 """
 import os
 
-# force CPU regardless of the ambient JAX_PLATFORMS (e.g. axon/TPU): the unit
-# suite is the multi-device-simulation tier; TPU runs go through bench/verify
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +16,10 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+# force CPU regardless of the ambient platform (axon/TPU): the unit suite is
+# the multi-device-simulation tier; TPU runs go through bench/verify. NOTE the
+# axon plugin ignores the JAX_PLATFORMS env var — only the config flag works.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/nnaudio_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -1,0 +1,133 @@
+"""Multi-chip sharding correctness on the 8-device CPU mesh.
+
+The reference's DataParallel smoke tests (test_stft.py:116-141) become
+"sharded == unsharded" exactness tests here (SURVEY.md §4): per-example
+transforms must be bit-identical under batch sharding, kernel-bank sharding
+must concatenate to the replicated result, and the time-sharded STFT must
+equal the single-device center=False STFT of the halo-padded signal.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nnaudio_tpu import features, parallel
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return parallel.make_mesh(data=8, model=1)
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return parallel.make_mesh(data=2, model=4)
+
+
+def test_data_parallel_stft_exact(mesh8):
+    x = np.random.RandomState(0).randn(16, 4096).astype(np.float32)
+    layer = features.STFT(n_fft=512, hop_length=128, output_format="Magnitude",
+                          verbose=False)
+    want = np.asarray(layer(x))
+    run = parallel.data_parallel(layer, mesh8, output_format="Magnitude")
+    got = np.asarray(run(x))
+    assert np.array_equal(got, want)
+
+
+def test_data_parallel_mel_exact(mesh8):
+    x = np.random.RandomState(1).randn(8, 8192).astype(np.float32)
+    layer = features.MelSpectrogram(n_fft=1024, hop_length=256, n_mels=64,
+                                    verbose=False)
+    want = np.asarray(layer(x))
+    run = parallel.data_parallel(layer, mesh8)
+    got = np.asarray(run(x))
+    assert np.array_equal(got, want)
+
+
+def test_bank_sharded_cqt_matches_replicated(mesh24):
+    x = np.random.RandomState(2).randn(4, 16384).astype(np.float32)
+    layer = features.CQT1992v2(sr=16000, fmin=55, n_bins=48, bins_per_octave=12,
+                               hop_length=512, verbose=False)
+    want = np.asarray(layer(x, output_format="Magnitude"))
+    run = parallel.bank_sharded_apply(layer, mesh24, output_format="Magnitude",
+                                      normalization_type="librosa")
+    got = np.asarray(run(x))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_shard_kernel_bank_layout(mesh24):
+    layer = features.CQT1992v2(sr=16000, fmin=55, n_bins=48, bins_per_octave=12,
+                               verbose=False)
+    sharded = parallel.shard_kernel_bank(layer.params, mesh24)
+    spec = sharded["cqt_kernels_real"].sharding.spec
+    assert spec[0] == "model"
+    assert sharded["lenghts"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_time_sharded_stft_matches_single_device(mesh8):
+    n_fft, hop = 512, 128
+    halo = n_fft - hop
+    x = np.random.RandomState(3).randn(2, 8 * 2048).astype(np.float32)
+    layer = features.STFT(n_fft=n_fft, hop_length=hop, center=False,
+                          output_format="Complex", verbose=False)
+    wcos = np.asarray(layer.params["wcos"])
+    wsin = np.asarray(layer.params["wsin"])
+
+    real, imag = parallel.time_sharded_stft(x, wcos, wsin, hop, mesh8)
+    # single-device reference: center=False STFT of the halo-zero-padded x
+    want = np.asarray(layer(np.pad(x, ((0, 0), (0, halo)))))
+    assert np.allclose(np.asarray(real), want[..., 0], rtol=1e-4, atol=1e-5)
+    assert np.allclose(np.asarray(imag), -want[..., 1], rtol=1e-4, atol=1e-5)
+
+
+def test_time_sharded_roundtrip(mesh8):
+    n_fft, hop = 512, 128
+    x = np.random.RandomState(4).randn(1, 8 * 1024).astype(np.float32)
+    basis_layer = features.iSTFT(n_fft=n_fft, hop_length=hop, verbose=False)
+    kc = np.asarray(basis_layer.params["kernel_cos"])
+    ks = np.asarray(basis_layer.params["kernel_sin"])
+    w = np.asarray(basis_layer.params["window_mask"])
+
+    stft_layer = features.STFT(n_fft=n_fft, hop_length=hop, center=False,
+                               output_format="Complex", verbose=False)
+    wcos = np.asarray(stft_layer.params["wcos"])
+    wsin = np.asarray(stft_layer.params["wsin"])
+
+    real, imag_raw = parallel.time_sharded_stft(x, wcos, wsin, hop, mesh8)
+    # full-bin spectra for the inverse (torch convention: imag = -sin proj)
+    from nnaudio_tpu.core.overlap import extend_fbins
+
+    spec = extend_fbins(jnp.stack((real, -imag_raw), axis=-1))
+    rec = parallel.time_sharded_istft(
+        spec[..., 0], spec[..., 1], kc, ks, w, hop, mesh8
+    )
+    rec = np.asarray(rec)
+    # interior samples (away from the global edges) must round-trip
+    assert np.allclose(rec[:, n_fft:-n_fft], x[:, n_fft:-n_fft],
+                       rtol=1e-3, atol=1e-4)
+
+
+def test_data_parallel_grads(mesh8):
+    """DP gradient of a trainable STFT equals the single-device gradient."""
+    x = np.random.RandomState(5).randn(8, 2048).astype(np.float32)
+    layer = features.STFT(n_fft=256, hop_length=64, trainable=True,
+                          output_format="Magnitude", verbose=False)
+    params = layer.trainable_params()
+
+    def loss(p, xx):
+        return jnp.sum(layer.apply(p, xx, output_format="Magnitude"))
+
+    g_single = jax.grad(loss)(params, x)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = jax.device_put(x, NamedSharding(mesh8, P("data", None)))
+    g_sharded = jax.grad(loss)(params, xs)
+    for k in g_single:
+        assert np.allclose(np.asarray(g_single[k]), np.asarray(g_sharded[k]),
+                           rtol=1e-4, atol=1e-5), k
