@@ -59,12 +59,15 @@ def fft_to_gammatone_weights(
 
     s_plus = np.sqrt(3 + 2 ** 1.5)
     s_minus = np.sqrt(3 - 2 ** 1.5)
+    # the four real zeros of the impulse-invariant gammatone sections;
+    # note the overall sign: librosa_functions.py:81 defines A1k as the
+    # NEGATED half-sums and then zros = -A/T
     zros = np.stack(
         [
-            -(ccpt / ebt + s_plus * scpt / ebt) / 2,
-            -(ccpt / ebt - s_plus * scpt / ebt) / 2,
-            -(ccpt / ebt + s_minus * scpt / ebt) / 2,
-            -(ccpt / ebt - s_minus * scpt / ebt) / 2,
+            (ccpt / ebt + s_plus * scpt / ebt) / 2,
+            (ccpt / ebt - s_plus * scpt / ebt) / 2,
+            (ccpt / ebt + s_minus * scpt / ebt) / 2,
+            (ccpt / ebt - s_minus * scpt / ebt) / 2,
         ],
         axis=0,
     ) / t  # (4, n_bins)

@@ -1,0 +1,199 @@
+"""Live head-to-head parity vs the reference implementation (torch CPU).
+
+The strongest oracle available: the actual reference package, imported from
+the read-only mount and run on identical inputs. Skipped when the mount is
+absent. Comparisons mask numerically-silent bins for phase (fp noise there is
+implementation-defined; see tests/test_cqt.py docstring).
+"""
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/Installation"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.path.insert(0, REF)
+    try:
+        import scipy.signal
+
+        if not hasattr(scipy.signal, "blackmanharris"):
+            # the reference targets scipy<1.13 where window functions lived
+            # in scipy.signal; restore the alias so its CFP constructs
+            scipy.signal.blackmanharris = scipy.signal.windows.blackmanharris
+        import torch  # noqa: F401
+        from nnAudio import features as ref_features
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference unavailable: {e}")
+    return ref_features
+
+
+@pytest.fixture(scope="module")
+def torchmod():
+    import torch
+
+    return torch
+
+
+def close(a, b, tol=2e-3):
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    scale = max(np.abs(b).max(), 1e-3)
+    err = np.abs(a - b).max() / scale
+    assert err < tol, f"rel err {err:.2e}"
+
+
+SIG = np.random.RandomState(7).randn(2, 16000).astype(np.float32)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(n_fft=1024, hop_length=256),
+    dict(n_fft=1024, win_length=512, hop_length=256),
+    dict(n_fft=512, hop_length=160, pad_mode="constant"),
+    dict(n_fft=512, hop_length=128, center=False),
+    dict(n_fft=1024, freq_bins=128, hop_length=256, freq_scale="linear",
+         fmin=50, fmax=6000, sr=16000),
+    dict(n_fft=1024, freq_bins=128, hop_length=256, freq_scale="log",
+         fmin=50, fmax=6000, sr=16000),
+])
+def test_stft_parity(ref, torchmod, kw):
+    from nnaudio_tpu import features
+
+    ours = features.STFT(output_format="Complex", verbose=False, **kw)
+    theirs = ref.STFT(output_format="Complex", verbose=False, **kw)
+    got = np.asarray(ours(SIG))
+    want = theirs(torchmod.tensor(SIG)).numpy()
+    close(got, want)
+
+
+def test_stft_magnitude_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    ours = features.STFT(n_fft=1024, hop_length=256, output_format="Magnitude",
+                         verbose=False)
+    theirs = ref.STFT(n_fft=1024, hop_length=256, output_format="Magnitude",
+                      verbose=False)
+    close(np.asarray(ours(SIG)), theirs(torchmod.tensor(SIG)).numpy())
+
+
+def test_istft_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    ours_f = features.STFT(n_fft=1024, hop_length=256, output_format="Complex",
+                           verbose=False)
+    X = np.asarray(ours_f(SIG))
+    ours_i = features.iSTFT(n_fft=1024, hop_length=256, verbose=False)
+    theirs_i = ref.iSTFT(n_fft=1024, hop_length=256, verbose=False)
+    got = np.asarray(ours_i(X, onesided=True, length=16000))
+    want = theirs_i(torchmod.tensor(X), onesided=True, length=16000).numpy()
+    close(got, want, tol=1e-4)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(n_mels=64), dict(n_mels=128, htk=True), dict(n_mels=96, power=1.0),
+])
+def test_mel_parity(ref, torchmod, kw):
+    from nnaudio_tpu import features
+
+    ours = features.MelSpectrogram(sr=16000, n_fft=1024, hop_length=256,
+                                   verbose=False, **kw)
+    theirs = ref.MelSpectrogram(sr=16000, n_fft=1024, hop_length=256,
+                                verbose=False, **kw)
+    close(np.asarray(ours(SIG)), theirs(torchmod.tensor(SIG)).numpy())
+
+
+def test_mfcc_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, n_mfcc=20, n_fft=1024, hop_length=256, n_mels=64)
+    ours = features.MFCC(verbose=False, **kw)
+    theirs = ref.MFCC(verbose=False, **kw)
+    close(np.asarray(ours(SIG)), theirs(torchmod.tensor(SIG)).numpy(), tol=1e-4)
+
+
+def test_gammatone_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, n_fft=1024, hop_length=256, n_bins=64)
+    ours = features.Gammatonegram(verbose=False, **kw)
+    theirs = ref.Gammatonegram(verbose=False, **kw)
+    close(np.asarray(ours(SIG)), theirs(torchmod.tensor(SIG)).numpy())
+
+
+@pytest.mark.parametrize("norm_type", ["librosa", "convolutional", "wrap"])
+def test_cqt1992v2_parity(ref, torchmod, norm_type):
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, fmin=55, n_bins=48, bins_per_octave=12, hop_length=256)
+    ours = features.CQT1992v2(verbose=False, **kw)
+    theirs = ref.CQT1992v2(verbose=False, **kw)
+    x = torchmod.tensor(SIG)
+    close(np.asarray(ours(SIG, output_format="Complex",
+                          normalization_type=norm_type)),
+          theirs(x, output_format="Complex",
+                 normalization_type=norm_type).numpy())
+
+
+def test_cqt1992_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, fmin=220, n_bins=40, bins_per_octave=12, hop_length=256)
+    ours = features.CQT1992(**kw)
+    theirs = ref.CQT1992(**kw)
+    close(np.asarray(ours(SIG, output_format="Complex")),
+          theirs(torchmod.tensor(SIG), output_format="Complex").numpy())
+
+
+def test_cqt2010_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, fmin=55, n_bins=48, bins_per_octave=12, hop_length=256)
+    ours = features.CQT2010(verbose=False, **kw)
+    theirs = ref.CQT2010(verbose=False, **kw)
+    close(np.asarray(ours(SIG, output_format="Complex")),
+          theirs(torchmod.tensor(SIG), output_format="Complex").numpy())
+
+
+def test_cqt2010v2_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, fmin=55, n_bins=48, bins_per_octave=12, hop_length=256)
+    ours = features.CQT2010v2(verbose=False, **kw)
+    theirs = ref.CQT2010v2(verbose=False, **kw)
+    close(np.asarray(ours(SIG, output_format="Complex")),
+          theirs(torchmod.tensor(SIG), output_format="Complex").numpy())
+
+
+@pytest.mark.parametrize("gamma", [0, 2, 5])
+def test_vqt_parity(ref, torchmod, gamma):
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, fmin=55, n_bins=48, bins_per_octave=12,
+              hop_length=256, gamma=gamma)
+    ours = features.VQT(verbose=False, **kw)
+    theirs = ref.VQT(verbose=False, **kw)
+    close(np.asarray(ours(SIG, output_format="Complex")),
+          theirs(torchmod.tensor(SIG), output_format="Complex").numpy())
+
+
+def test_cfp_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    ours = features.CFP()
+    theirs = ref.CFP()
+    got = np.asarray(ours(SIG[:1]))
+    want = theirs(torchmod.tensor(SIG[:1])).numpy()
+    close(got, want, tol=1e-3)
+
+
+def test_combined_cfp_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    ours = features.Combined_Frequency_Periodicity()
+    theirs = ref.Combined_Frequency_Periodicity()
+    got = ours(SIG[:1])
+    want = theirs(torchmod.tensor(SIG[:1]))
+    for g, w in zip(got, want):
+        close(np.asarray(g), w.numpy(), tol=1e-3)
