@@ -64,11 +64,27 @@ def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
 
 
 def frames_to_signal(frames: jax.Array, hop: int, length: int) -> jax.Array:
-    """Overlap-add: (B, T, frame_length) -> (B, length) scatter-add (the exact
-    adjoint of :func:`frame_signal`; replaces the reference's ``fold`` at
-    utils.py:52-56)."""
+    """Overlap-add: (B, T, frame_length) -> (B, length) — the exact adjoint of
+    :func:`frame_signal` (replaces the reference's ``fold`` at utils.py:52-56).
+
+    When ``hop`` divides the frame length, the scatter is re-expressed as
+    ``frame_length/hop`` static slice-adds on a ``(rows, hop)`` view (the
+    inverse of the hop-decomposition in ops/dispatch.py) — TPU scatter-add is
+    orders of magnitude slower than contiguous dynamic-update-slices."""
     t, n = frames.shape[-2], frames.shape[-1]
+    lead = frames.shape[:-2]
+    if n % hop == 0 and n // hop <= 64:
+        n_chunks = n // hop
+        rows = t + n_chunks - 1
+        fr = frames.reshape(*lead, t, n_chunks, hop)
+        out = jnp.zeros((*lead, rows, hop), dtype=frames.dtype)
+        for c in range(n_chunks):
+            out = out.at[..., c : c + t, :].add(fr[..., :, c, :])
+        out = out.reshape(*lead, rows * hop)
+        if rows * hop >= length:
+            return out[..., :length]
+        return jnp.pad(out, [(0, 0)] * len(lead) + [(0, length - rows * hop)])
     idx = (jnp.arange(t)[:, None] * hop + jnp.arange(n)[None, :]).reshape(-1)
-    flat = frames.reshape(*frames.shape[:-2], t * n)
-    out = jnp.zeros((*frames.shape[:-2], length), dtype=frames.dtype)
+    flat = frames.reshape(*lead, t * n)
+    out = jnp.zeros((*lead, length), dtype=frames.dtype)
     return out.at[..., idx].add(flat)

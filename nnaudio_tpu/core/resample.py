@@ -1,36 +1,70 @@
 """FIR anti-aliased downsampling (CQT2010/VQT octave pyramid).
 
 Replaces the reference's padded strided conv1d (``downsampling_by_n``,
-``utils.py:73-124``). Implemented as a framed gather + basis contraction
-rather than ``lax.conv_general_dilated``: identical arithmetic (symmetric
-zero pad of ``(len(fir)-1)//2``, stride-``n`` valid windows), but XLA compiles
-chains of gather+dot orders of magnitude faster than chains of conv ops (the
-7-octave pyramid graph went from ~120s to <1s of XLA-CPU compile), and the
-contraction rides the MXU/VPU on TPU.
+``utils.py:73-124``) with identical arithmetic (symmetric zero pad of
+``(len(fir)-1)//2``, stride-``n`` valid windows) in an MXU-friendly shape:
+
+Strided FIR as a **banded-matrix framed matmul**: a tile of ``R=128``
+consecutive outputs reads ``n*(R-1) + K`` input samples, so framing with
+length ``n*(R-1)+K`` at hop ``n*R`` and contracting with the banded matrix
+``M[j, m] = fir[m - n*j]`` computes 128 outputs per MXU row. Input
+duplication is ``1 + K/(nR)`` (≈2x for K=256, n=2) versus the ``K/n``-fold
+(128x) blow-up of a naive per-output gather — the naive version materialized
+multi-GB frame tensors inside the CQT pyramid. ``lax.conv_general_dilated``
+is avoided for different reasons on each backend: XLA-CPU compiles conv
+chains catastrophically slowly, and the TPU conv+consumer fusion is
+pathological (see ops/dispatch.py).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import dot_precision
 from .frame import frame_signal
 
+_TILE_R = 128  # outputs per banded-matmul row tile
+
+
+def _banded_matrix(fir: jax.Array, n: int, r: int) -> jax.Array:
+    """(r, n*(r-1) + K) matrix with M[j, m] = fir[m - n*j]."""
+    taps = fir.shape[-1]
+    width = n * (r - 1) + taps
+    j = np.arange(r)[:, None]
+    m = np.arange(width)[None, :]
+    k = m - n * j  # tap index per cell
+    valid = (k >= 0) & (k < taps)
+    gather = jnp.asarray(np.where(valid, k, 0))
+    return jnp.where(jnp.asarray(valid), fir[gather], 0.0)
+
 
 def downsample_by_n(x: jax.Array, fir: jax.Array, n: int) -> jax.Array:
-    """(B, L) -> (B, floor((L - 2)/n) + 1) strided FIR with symmetric zero
-    padding of ``(len(fir)-1)//2`` (identical arithmetic to utils.py:98-100)."""
+    """(B, L) -> (B, floor((L + 2p - K)/n) + 1), p = (K-1)//2 — identical
+    arithmetic to utils.py:98-100."""
     taps = fir.shape[-1]
     pad = (taps - 1) // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad)))
-    frames = frame_signal(xp, taps, n)  # (B, T, taps)
-    return jnp.einsum(
-        "btk,k->bt",
+    b, length = x.shape
+    out_len = (length + 2 * pad - taps) // n + 1
+
+    r = min(_TILE_R, out_len)
+    n_tiles = -(-out_len // r)
+    width = n * (r - 1) + taps
+    hop = n * r
+    # frames for tile t0 start at input offset t0*n*r in the padded signal
+    need = (n_tiles - 1) * hop + width
+    xp = jnp.pad(x, ((0, 0), (pad, max(0, need - length - pad))))
+    frames = frame_signal(xp[:, :need], width, hop)  # (B, n_tiles, width)
+
+    banded = _banded_matrix(fir, n, r)  # (r, width)
+    out = jnp.einsum(
+        "btw,rw->btr",
         frames,
-        fir,
+        banded,
         precision=dot_precision(),
         preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
+    return out.reshape(b, n_tiles * r)[:, :out_len].astype(x.dtype)
 
 
 def downsample_by_2(x: jax.Array, fir: jax.Array) -> jax.Array:

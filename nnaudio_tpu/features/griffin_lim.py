@@ -78,8 +78,12 @@ class Griffin_Lim(SpectralTransform):
         self._register("window_mask", w)
 
     # --------------------------------------------------------------- graph --
-    def _istft(self, params, spec_ri, n_frames):
-        """(B, F, T, 2) torch-convention complex -> (B, (T-1)*hop) waveform."""
+    def _istft(self, params, spec_ri, w_sum):
+        """(B, F, T, 2) torch-convention complex -> (B, (T-1)*hop) waveform.
+
+        ``w_sum`` (the overlap-added window-sumsquare envelope) is computed
+        once by the caller — inside the Griffin-Lim fixed-point loop it is
+        iteration-invariant, and ``fori_loop`` bodies cannot hoist it."""
         X = extend_fbins(spec_ri)
         prec = dot_precision()
         frames = jnp.einsum("jf,bft->bjt", params["kernel_cos_inv"], X[..., 0],
@@ -88,9 +92,6 @@ class Griffin_Lim(SpectralTransform):
                                      precision=prec, preferred_element_type=jnp.float32)
         frames = frames * params["window_mask"][None, :, None] / self.n_fft
         signal = overlap_add(frames, self.hop_length)
-        w_sum = window_sumsquare(
-            params["window_mask"], n_frames, self.hop_length, self.n_fft
-        )
         signal = normalize_by_window_envelope(signal, w_sum)
         return signal[:, self.pad_amount : -self.pad_amount]
 
@@ -111,10 +112,13 @@ class Griffin_Lim(SpectralTransform):
             (jnp.cos(2 * np.pi * rand_phase), jnp.sin(2 * np.pi * rand_phase)), axis=-1
         )
         mom = self.momentum / (1 + self.momentum)
+        w_sum = window_sumsquare(
+            params["window_mask"], t, self.hop_length, self.n_fft
+        )
 
         def body(_, carry):
             angles, rebuilt_prev = carry
-            inverse = self._istft(params, S[..., None] * angles, t)
+            inverse = self._istft(params, S[..., None] * angles, w_sum)
             rebuilt = self._stft(params, inverse)
             new_angles = rebuilt - mom * rebuilt_prev
             norm = jnp.sqrt(jnp.sum(new_angles ** 2, axis=-1, keepdims=True)) + 1e-16
@@ -123,7 +127,7 @@ class Griffin_Lim(SpectralTransform):
         angles, _ = jax.lax.fori_loop(
             0, self.n_iter, body, (angles, jnp.zeros_like(angles))
         )
-        return self._istft(params, S[..., None] * angles, t)
+        return self._istft(params, S[..., None] * angles, w_sum)
 
     def __call__(self, S, key=None):
         return self.apply(None, S, key=key)
