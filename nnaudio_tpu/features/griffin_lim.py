@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from ..config import dot_precision
 from ..core.frame import num_frames, pad_signal
 from ..core.overlap import (
-    extend_fbins,
     normalize_by_window_envelope,
     overlap_add,
     window_sumsquare,
@@ -66,15 +65,14 @@ class Griffin_Lim(SpectralTransform):
         ).astype(np.float32)
         self._register("wsin", basis.wsin * w[None, :])
         self._register("wcos", basis.wcos * w[None, :])
-        # full-bin IDFT kernels by mirroring (stft.py:218-219)
-        self._register(
-            "kernel_sin_inv",
-            np.concatenate((basis.wsin, -basis.wsin[1:-1][::-1]), axis=0),
-        )
-        self._register(
-            "kernel_cos_inv",
-            np.concatenate((basis.wcos, basis.wcos[1:-1][::-1]), axis=0),
-        )
+        # onesided IDFT kernels with Hermitian fold weights (DC/Nyquist x1,
+        # interior x2) — half the synthesis matmul of a mirrored full bank
+        wt = np.full((basis.wcos.shape[0], 1), 2.0, dtype=np.float32)
+        wt[0] = 1.0
+        if n_fft % 2 == 0:
+            wt[-1] = 1.0
+        self._register("kernel_sin_inv", basis.wsin * wt)
+        self._register("kernel_cos_inv", basis.wcos * wt)
         self._register("window_mask", w)
 
     # --------------------------------------------------------------- graph --
@@ -84,11 +82,11 @@ class Griffin_Lim(SpectralTransform):
         ``w_sum`` (the overlap-added window-sumsquare envelope) is computed
         once by the caller — inside the Griffin-Lim fixed-point loop it is
         iteration-invariant, and ``fori_loop`` bodies cannot hoist it."""
-        X = extend_fbins(spec_ri)
+        X = spec_ri  # onesided; Hermitian fold baked into the kernels
         prec = dot_precision()
-        frames = jnp.einsum("jf,bft->bjt", params["kernel_cos_inv"], X[..., 0],
+        frames = jnp.einsum("fj,bft->bjt", params["kernel_cos_inv"], X[..., 0],
                             precision=prec, preferred_element_type=jnp.float32)
-        frames = frames - jnp.einsum("jf,bft->bjt", params["kernel_sin_inv"], X[..., 1],
+        frames = frames - jnp.einsum("fj,bft->bjt", params["kernel_sin_inv"], X[..., 1],
                                      precision=prec, preferred_element_type=jnp.float32)
         frames = frames * params["window_mask"][None, :, None] / self.n_fft
         signal = overlap_add(frames, self.hop_length)

@@ -34,6 +34,19 @@ from ..config import dot_precision
 from .base import SpectralTransform
 
 
+def hermitian_weights(n_fft: int, n_bins: int, dtype=jnp.float32) -> jax.Array:
+    """Per-bin fold weights for onesided synthesis: DC (and Nyquist when
+    ``n_fft`` is even) count once, interior bins twice — the mirrored upper
+    half of the spectrum contributes exactly the lower half's term, so
+    doubling replaces the explicit ``extend_fbins`` mirror and halves the
+    IDFT matmul."""
+    wt = jnp.full((n_bins,), 2.0, dtype=dtype)
+    wt = wt.at[0].set(1.0)
+    if n_fft % 2 == 0:
+        wt = wt.at[-1].set(1.0)
+    return wt
+
+
 def _inverse_stft_graph(
     X,
     kernel_cos,
@@ -45,19 +58,32 @@ def _inverse_stft_graph(
     length: int | None,
     center: bool,
     pad_amount: int,
+    fold_onesided: bool = True,
 ):
     """Shared iSTFT math (reference ``STFTBase.inverse_stft``, stft.py:15-63).
 
-    ``X``: (B, F, T, 2) complex stack; kernels: (n_fft, n_fft) IDFT bases.
+    ``X``: (B, F, T, 2) complex stack; kernels: (n_fft, n_fft) IDFT bases with
+    frequency as the leading axis (rows [:n_fft//2+1] are the onesided bins).
+    With frozen kernels the onesided path folds Hermitian symmetry into bin
+    weights instead of mirroring the spectrum (``fold_onesided=False`` keeps
+    the reference's explicit mirror — required when the full kernel bank is
+    trainable so upper-half rows receive gradients, stft.py:439-524).
     """
-    if onesided:
-        X = extend_fbins(X)
-    X_real, X_imag = X[..., 0], X[..., 1]
     prec = dot_precision()
+    if onesided and fold_onesided and X.shape[1] == n_fft // 2 + 1:
+        wt = hermitian_weights(n_fft, X.shape[1], X.dtype)
+        kc = kernel_cos[: X.shape[1]] * wt[:, None]
+        ks = kernel_sin[: X.shape[1]] * wt[:, None]
+    else:
+        if onesided:
+            X = extend_fbins(X)
+        kc, ks = kernel_cos, kernel_sin
+    X_real, X_imag = X[..., 0], X[..., 1]
     # frames[b, j, t] = sum_f Re[f] cos(2pi j f/N) - Im[f] sin(2pi j f/N)
-    frames = jnp.einsum("jf,bft->bjt", kernel_cos, X_real, precision=prec,
+    # (the DFT kernel matrices are symmetric in (f, j))
+    frames = jnp.einsum("fj,bft->bjt", kc, X_real, precision=prec,
                         preferred_element_type=jnp.float32)
-    frames = frames - jnp.einsum("jf,bft->bjt", kernel_sin, X_imag, precision=prec,
+    frames = frames - jnp.einsum("fj,bft->bjt", ks, X_imag, precision=prec,
                                  preferred_element_type=jnp.float32)
     frames = frames * window_mask[None, :, None] / n_fft
     signal = overlap_add(frames, hop)  # (B, n_fft + hop*(T-1))
@@ -288,6 +314,7 @@ class iSTFT(SpectralTransform):
         self._register("kernel_sin", basis.wsin, trainable=trainable_kernels)
         self._register("kernel_cos", basis.wcos, trainable=trainable_kernels)
         self._register("window_mask", window_mask, trainable=trainable_window)
+        self.trainable_kernels = trainable_kernels
         self._verbose_print(verbose, f"iSTFT kernels created: n_fft={n_fft}")
 
     def _forward(self, params, X, onesided=False, length=None):
@@ -302,6 +329,9 @@ class iSTFT(SpectralTransform):
             length,
             self.center,
             self.pad_amount,
+            # trainable full banks must keep the explicit mirror so the
+            # upper-half kernel rows receive gradients
+            fold_onesided=not self.trainable_kernels,
         )
 
     def __call__(self, X, onesided=False, length=None, refresh_win=None):
