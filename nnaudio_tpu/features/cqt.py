@@ -30,7 +30,7 @@ from ..core.frame import broadcast_dim, pad_signal
 from ..core.resample import downsample_by_n
 from ..filters.cqt import create_cqt_kernels, create_lowpass_filter, early_downsample_params
 from ..filters.fourier import create_fourier_basis
-from ..ops.dispatch import framed_basis_pair
+from ..ops.dispatch import framed_basis_pair, framed_magnitude
 from .base import SpectralTransform
 
 
@@ -227,6 +227,19 @@ class CQT1992v2(SpectralTransform):
         x = broadcast_dim(x)
         if self.center:
             x = _center_pad(x, self.kernel_width // 2, self.pad_mode)
+
+        if output_format == "Magnitude" and not self.trainable:
+            # |(r, -i)| == |(r, i)| and the normalizations are positive
+            # per-bin scales, so the fused magnitude kernel applies directly
+            mag = framed_magnitude(
+                x, params["cqt_kernels_real"], params["cqt_kernels_imag"],
+                self.hop_length,
+            )
+            if normalization_type == "librosa":
+                return mag * jnp.sqrt(params["lenghts"])[None, :, None]
+            if normalization_type == "wrap":
+                return mag * 2
+            return mag
 
         real, imag_raw = framed_basis_pair(
             x, params["cqt_kernels_real"], params["cqt_kernels_imag"], self.hop_length

