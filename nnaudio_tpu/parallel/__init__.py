@@ -17,6 +17,11 @@ from .mesh import make_mesh, local_batch_sharding, replicate
 from .data import data_parallel, shard_batch
 from .bank import shard_kernel_bank, bank_sharded_apply
 from .timeshard import time_sharded_stft, time_sharded_istft
+from .input import (
+    distributed_initialize,
+    global_batch_from_host_local,
+    iter_host_batches,
+)
 
 __all__ = [
     "make_mesh",
@@ -28,4 +33,7 @@ __all__ = [
     "bank_sharded_apply",
     "time_sharded_stft",
     "time_sharded_istft",
+    "distributed_initialize",
+    "global_batch_from_host_local",
+    "iter_host_batches",
 ]

@@ -1,0 +1,44 @@
+"""Multi-host initialization and host-sharded input pipeline.
+
+SURVEY.md §7 step 9: "multi-host init + host-sharded input pipeline". Each
+host loads only its shard of the global utterance batch; the global array is
+assembled logically (no cross-host copy) with
+``jax.make_array_from_process_local_data``.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_initialize(**kwargs) -> None:
+    """Initialize the multi-host JAX runtime (no-op when single-process).
+
+    Call once per process before any other JAX API on a multi-host pod;
+    forwards ``coordinator_address`` / ``num_processes`` / ``process_id``
+    to ``jax.distributed.initialize``."""
+    if jax.process_count() > 1 or kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
+def global_batch_from_host_local(
+    local_batch: np.ndarray, mesh: Mesh, axis: str = "data"
+) -> jax.Array:
+    """Assemble a globally batch-sharded array from per-host local batches.
+
+    ``local_batch``: this host's (B_local, ...) slice, where
+    ``B_local = B_global / num_hosts``. Returns a global (B_global, ...)
+    array sharded over ``axis`` with zero cross-host transfers.
+    """
+    spec = P(axis, *([None] * (local_batch.ndim - 1)))
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), np.asarray(local_batch)
+    )
+
+
+def iter_host_batches(dataset, mesh: Mesh, axis: str = "data"):
+    """Wrap an iterator of host-local numpy batches into globally sharded
+    device arrays — the input-pipeline seam for a multi-host training loop."""
+    for local in dataset:
+        yield global_batch_from_host_local(local, mesh, axis)

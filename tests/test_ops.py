@@ -107,3 +107,44 @@ def test_framed_basis_pair_custom_vjp():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, wcos, wsin)
     for a, b in zip(g1, g2):
         assert np.allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_fused_magnitude_interpreted():
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 4096).astype(np.float32))
+    wcos = jnp.asarray(rng.randn(129, 1024).astype(np.float32))
+    wsin = jnp.asarray(rng.randn(129, 1024).astype(np.float32))
+    hop = 256
+    framed_matmul._INTERPRET = True
+    try:
+        mag = framed_matmul.framed_magnitude_pallas(x, wcos, wsin, hop,
+                                                    highest=True)
+        mag_eps = framed_matmul.framed_magnitude_pallas(x, wcos, wsin, hop,
+                                                        highest=True, eps=1e-8)
+    finally:
+        framed_matmul._INTERPRET = False
+    real, imag = dispatch._xla_pair(x, wcos, wsin, hop)
+    want = jnp.sqrt(real ** 2 + imag ** 2)
+    assert np.allclose(mag, want, rtol=1e-4, atol=1e-4)
+    assert np.allclose(mag_eps, jnp.sqrt(real ** 2 + imag ** 2 + 1e-8),
+                       rtol=1e-4, atol=1e-4)
+
+
+def test_framed_magnitude_custom_vjp():
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+    wcos = jnp.asarray(rng.randn(17, 64).astype(np.float32))
+    wsin = jnp.asarray(rng.randn(17, 64).astype(np.float32))
+
+    def loss_fused(x, wc, ws):
+        return jnp.sum(dispatch.framed_magnitude(x, wc, ws, 16, 1e-8) ** 2)
+
+    def loss_ref(x, wc, ws):
+        r, i = dispatch._xla_pair(x, wc, ws, 16)
+        return jnp.sum((r * r + i * i + 1e-8))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, wcos, wsin)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, wcos, wsin)
+    # d/dθ sum(mag^2) == d/dθ sum(r^2+i^2+eps): identical gradients
+    for a, b in zip(g1, g2):
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-4)

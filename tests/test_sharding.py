@@ -131,3 +131,21 @@ def test_data_parallel_grads(mesh8):
     for k in g_single:
         assert np.allclose(np.asarray(g_single[k]), np.asarray(g_sharded[k]),
                            rtol=1e-4, atol=1e-5), k
+
+
+def test_global_batch_from_host_local(mesh8):
+    """Single-process: host-local data IS the global batch; the helper must
+    produce a data-sharded array identical to device_put."""
+    x = np.random.RandomState(9).randn(16, 128).astype(np.float32)
+    arr = parallel.global_batch_from_host_local(x, mesh8)
+    assert arr.shape == (16, 128)
+    assert arr.sharding.spec == jax.sharding.PartitionSpec("data", None)
+    assert np.array_equal(np.asarray(arr), x)
+
+
+def test_iter_host_batches(mesh8):
+    batches = [np.ones((8, 4), np.float32) * i for i in range(3)]
+    out = list(parallel.iter_host_batches(iter(batches), mesh8))
+    assert len(out) == 3
+    for i, arr in enumerate(out):
+        assert np.array_equal(np.asarray(arr), batches[i])
