@@ -70,8 +70,19 @@ def complex_bank_mul(
     spec_real: jax.Array,
     spec_imag: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """Complex matmul (a+bi)(c+di) split into four real MXU products
-    (replaces ``complex_mul`` at utils.py:175-203)."""
-    out_real = project(kernel_real, spec_real) - project(kernel_imag, spec_imag)
-    out_imag = project(kernel_real, spec_imag) + project(kernel_imag, spec_real)
-    return out_real, out_imag
+    """Complex matmul (a+bi)(c+di) (replaces ``complex_mul`` at
+    utils.py:175-203), packed as ONE stacked real MXU product instead of four
+    skinny ones: ``[[kr, -ki], [ki, kr]] @ [fr; fi]`` — a single
+    (2F_out, 2F_in) x (B, 2F_in, T) contraction keeps the MXU busy and reads
+    the Fourier maps once."""
+    bank = jnp.concatenate(
+        (
+            jnp.concatenate((kernel_real, -kernel_imag), axis=1),
+            jnp.concatenate((kernel_imag, kernel_real), axis=1),
+        ),
+        axis=0,
+    )
+    spec = jnp.concatenate((spec_real, spec_imag), axis=1)
+    out = project(bank, spec)
+    f_out = kernel_real.shape[0]
+    return out[:, :f_out], out[:, f_out:]

@@ -128,6 +128,17 @@ class CQT1992(SpectralTransform):
         self._register("wcos", fourier.wcos * fourier.window_mask[None, :],
                        trainable=trainable_STFT)
 
+        if not self.trainable:
+            # both stages are linear maps — compose them once at init (in
+            # fp64) into a single (n_bins, kernel_width) time-domain basis
+            # pair: real = (kr Wcos - ki Wsin) x, imag = (kr Wsin + ki Wcos) x
+            kr = fft_kernels.real.astype(np.float64)
+            ki = fft_kernels.imag.astype(np.float64)
+            wc = (fourier.wcos * fourier.window_mask[None, :]).astype(np.float64)
+            ws = (fourier.wsin * fourier.window_mask[None, :]).astype(np.float64)
+            self._register("combined_real", (kr @ wc - ki @ ws).astype(np.float32))
+            self._register("combined_imag", (kr @ ws + ki @ wc).astype(np.float32))
+
     def _forward(self, params, x, output_format=None, normalization_type="librosa"):
         output_format = output_format or self.output_format
         _check_norm_type(normalization_type)
@@ -135,15 +146,32 @@ class CQT1992(SpectralTransform):
         if self.center:
             x = _center_pad(x, self.kernel_width // 2, self.pad_mode)
 
-        fourier_real, fourier_imag = framed_basis_pair(
-            x, params["wcos"], params["wsin"], self.hop_length
-        )
-        cqt_real, cqt_imag = complex_bank_mul(
-            params["cqt_kernels_real"],
-            params["cqt_kernels_imag"],
-            fourier_real,
-            fourier_imag,
-        )
+        if not self.trainable:
+            if output_format == "Magnitude":
+                mag = framed_magnitude(
+                    x, params["combined_real"], params["combined_imag"],
+                    self.hop_length,
+                )
+                if normalization_type == "librosa":
+                    return mag * (jnp.sqrt(params["lenghts"])[None, :, None]
+                                  / self.kernel_width)
+                if normalization_type == "wrap":
+                    return mag * (2 / self.kernel_width)
+                return mag
+            cqt_real, cqt_imag = framed_basis_pair(
+                x, params["combined_real"], params["combined_imag"],
+                self.hop_length,
+            )
+        else:
+            fourier_real, fourier_imag = framed_basis_pair(
+                x, params["wcos"], params["wsin"], self.hop_length
+            )
+            cqt_real, cqt_imag = complex_bank_mul(
+                params["cqt_kernels_real"],
+                params["cqt_kernels_imag"],
+                fourier_real,
+                fourier_imag,
+            )
 
         # normalized components carry the reference's (real, -imag) stack
         real_n, imag_n = cqt_real, -cqt_imag
@@ -411,11 +439,25 @@ class CQT2010(_PyramidCQT):
         self._register("wcos", fourier.wcos * fourier.window_mask[None, :],
                        trainable=trainable_STFT)
 
+        if not self.trainable:
+            # compose the per-octave Fourier stage and complex mul into one
+            # time-domain basis pair (fp64 at init) — same trick as CQT1992
+            kr = fft_basis.real.astype(np.float64)
+            ki = fft_basis.imag.astype(np.float64)
+            wc = (fourier.wcos * fourier.window_mask[None, :]).astype(np.float64)
+            ws = (fourier.wsin * fourier.window_mask[None, :]).astype(np.float64)
+            self._register("combined_real", (kr @ wc - ki @ ws).astype(np.float32))
+            self._register("combined_imag", (kr @ ws + ki @ wc).astype(np.float32))
+
     def _octave_cqt(self, params, x, hop):
         """Fourier stage + frequency-domain complex mul; the reference's
         ``get_cqt_complex2`` with wcos/wsin (utils.py:524-559) — note the
         un-negated stack."""
         x = _center_pad(x, self.n_fft // 2, self.pad_mode)
+        if not self.trainable:
+            return framed_basis_pair(
+                x, params["combined_real"], params["combined_imag"], hop
+            )
         fr, fi = framed_basis_pair(x, params["wcos"], params["wsin"], hop)
         return complex_bank_mul(
             params["cqt_kernels_real"], params["cqt_kernels_imag"], fr, fi
