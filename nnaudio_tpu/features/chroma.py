@@ -69,8 +69,7 @@ class ChromaSTFT(SpectralTransform):
 
     def _forward(self, params, x):
         x = broadcast_dim(x)
-        spec = self.stft._forward(params, x, output_format="Magnitude")
-        spec = spec ** self.power
+        spec = self.stft._power_spectrogram(params, x, self.power)
         chroma = project(params["chroma_basis"], spec)
         if self.norm is not None:
             # librosa chroma_stft default: per-frame inf-norm

@@ -69,8 +69,7 @@ class Gammatonegram(SpectralTransform):
 
     def _forward(self, params, x):
         x = broadcast_dim(x)
-        spec = self.stft._forward(params, x, output_format="Magnitude")
-        spec = spec ** self.power
+        spec = self.stft._power_spectrogram(params, x, self.power)
         return project(params["gammatone_basis"], spec)
 
     def extra_repr(self) -> str:

@@ -83,8 +83,7 @@ class MelSpectrogram(SpectralTransform):
 
     def _forward(self, params, x):
         x = broadcast_dim(x)
-        spec = self.stft._forward(params, x, output_format="Magnitude")
-        spec = spec ** self.power
+        spec = self.stft._power_spectrogram(params, x, self.power)
         return project(params["mel_basis"], spec)
 
     def extra_repr(self) -> str:

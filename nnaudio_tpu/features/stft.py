@@ -29,7 +29,7 @@ from ..core.overlap import (
     overlap_add,
     window_sumsquare,
 )
-from ..ops.dispatch import framed_basis_pair, framed_magnitude
+from ..ops.dispatch import framed_basis_pair, framed_magnitude, framed_power
 from ..config import dot_precision
 from .base import SpectralTransform
 
@@ -206,6 +206,26 @@ class STFT(SpectralTransform):
         if output_format == "Phase":
             return phase_atan(spec_real, -spec_imag)
         raise ValueError(f"unknown output_format {output_format!r}")
+
+    def _power_spectrogram(self, params, x, power: float):
+        """|STFT|^power for the filterbank composites (Mel/Gammatone/Chroma).
+
+        ``power == 2.0`` (their default) uses the fused power-spectrum kernel
+        — no sqrt-then-square round trip. Trainable bases keep the magnitude
+        path so the reference's 1e-8-under-the-sqrt epsilon survives the
+        exponent (mel.py:186)."""
+        x = broadcast_dim(x)
+        if self.center:
+            x = pad_signal(x, self.pad_amount, self.pad_mode)
+        if power == 2.0 and not self.trainable:
+            return framed_power(x, params["wcos"], params["wsin"], self.stride)
+        mag = framed_magnitude(
+            x, params["wcos"], params["wsin"], self.stride,
+            eps=1e-8 if self.trainable else 0.0,
+        )
+        if power == 1.0:
+            return mag
+        return mag ** power
 
     def __call__(self, x, output_format=None):
         return self.apply(None, x, output_format=output_format or self.output_format)

@@ -104,6 +104,39 @@ def framed_magnitude(x, wcos, wsin, hop, eps=0.0):
     return jnp.sqrt(power)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def framed_power(x, wcos, wsin, hop):
+    """Fused power spectrum ``(x*wcos)^2 + (x*wsin)^2`` -> (B, F, T).
+
+    MelSpectrogram's default ``power=2.0`` squares the magnitude right after
+    the sqrt — this op skips both elementwise passes entirely."""
+    cfg = get_config()
+    if on_tpu() and cfg.use_pallas:
+        from .framed_matmul import framed_magnitude_pallas
+
+        out = framed_magnitude_pallas(
+            x, wcos, wsin, hop,
+            highest=cfg.matmul_precision == "highest", square=True,
+        )
+        if out is not None:
+            return out
+    real, imag = _xla_pair(x, wcos, wsin, hop)
+    return real * real + imag * imag
+
+
+def _pow_fwd(x, wcos, wsin, hop):
+    return framed_power(x, wcos, wsin, hop), (x, wcos, wsin)
+
+
+def _pow_bwd(hop, res, g):
+    x, wcos, wsin = res
+    real, imag = _xla_pair(x, wcos, wsin, hop)
+    return _bwd(hop, (x, wcos, wsin), (2 * g * real, 2 * g * imag))
+
+
+framed_power.defvjp(_pow_fwd, _pow_bwd)
+
+
 def _mag_fwd(x, wcos, wsin, hop, eps):
     out = framed_magnitude(x, wcos, wsin, hop, eps)
     return out, (x, wcos, wsin, out)

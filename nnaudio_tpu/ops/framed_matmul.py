@@ -158,7 +158,7 @@ def _framed_matmul_pair(x, wcos_t, wsin_t, hop, tile_t, tile_f):
 
 def _fused_magnitude_kernel(
     x_hbm, wcos_ref, wsin_ref, out_ref, slab, sem, *, hop, n_fft, tile_t,
-    prec, eps
+    prec, eps, square
 ):
     """Frame+matmul+magnitude in one pass: the (B, F, T) real/imag pair never
     leaves VMEM — saves their HBM round-trip plus a separate elementwise
@@ -190,13 +190,15 @@ def _fused_magnitude_kernel(
     power = real * real + imag * imag
     if eps:
         power = power + eps
-    out_ref[0, :, :] = jnp.sqrt(power)
+    out_ref[0, :, :] = power if square else jnp.sqrt(power)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hop", "tile_t", "tile_f", "highest", "eps")
+    jax.jit,
+    static_argnames=("hop", "tile_t", "tile_f", "highest", "eps", "square"),
 )
-def _framed_magnitude(x, wcos_t, wsin_t, hop, tile_t, tile_f, highest, eps):
+def _framed_magnitude(x, wcos_t, wsin_t, hop, tile_t, tile_f, highest, eps,
+                      square=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -221,7 +223,7 @@ def _framed_magnitude(x, wcos_t, wsin_t, hop, tile_t, tile_f, highest, eps):
     prec = (jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT)
     kern = functools.partial(
         _fused_magnitude_kernel, hop=hop, n_fft=n_fft, tile_t=tile_t,
-        prec=prec, eps=eps,
+        prec=prec, eps=eps, square=square,
     )
     out = pl.pallas_call(
         kern,
@@ -252,8 +254,10 @@ def _framed_magnitude(x, wcos_t, wsin_t, hop, tile_t, tile_f, highest, eps):
     return jnp.swapaxes(out[:, :t_total, :f], 1, 2)
 
 
-def framed_magnitude_pallas(x, wcos, wsin, hop, highest: bool, eps: float = 0.0):
-    """Fused |STFT|; returns None when outside the supported envelope."""
+def framed_magnitude_pallas(x, wcos, wsin, hop, highest: bool, eps: float = 0.0,
+                            square: bool = False):
+    """Fused |STFT| (or |STFT|^2 when ``square``); returns None when outside
+    the supported envelope."""
     if not framed_matmul_pair_supported(x, wcos, hop):
         return None
     n_fft = wcos.shape[-1]
@@ -265,7 +269,7 @@ def framed_magnitude_pallas(x, wcos, wsin, hop, highest: bool, eps: float = 0.0)
     wcos_t = jnp.asarray(wcos, jnp.float32).T
     wsin_t = jnp.asarray(wsin, jnp.float32).T
     return _framed_magnitude(x, wcos_t, wsin_t, hop, tile_t, tile_f,
-                             highest, eps)
+                             highest, eps, square)
 
 
 def framed_matmul_pair_supported(x, wcos, hop) -> bool:
