@@ -13,6 +13,10 @@ from .cqt import CQT, CQT1992, CQT1992v2, CQT2010, CQT2010v2
 from .vqt import VQT
 from .cfp import CFP, Combined_Frequency_Periodicity
 from .griffin_lim import Griffin_Lim
+# function-level reference API (the reference star-exports its kernel
+# generators through this namespace, features/__init__.py:6-14)
+from ..compat import *  # noqa: F401,F403
+from ..compat import __all__ as _compat_all
 
 __all__ = [
     "SpectralTransform",
@@ -31,4 +35,4 @@ __all__ = [
     "CFP",
     "Combined_Frequency_Periodicity",
     "Griffin_Lim",
-]
+] + list(_compat_all)

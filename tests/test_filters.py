@@ -101,3 +101,25 @@ def test_early_downsample_params():
     )
     assert active and factor > 1 and hop == 512 // factor
     assert filt is not None
+
+
+def test_compat_reference_names():
+    """Reference function names resolve through the features namespace with
+    reference-shaped returns."""
+    from nnaudio_tpu import features as F
+
+    wsin, wcos, b2f, blist, wmask = F.create_fourier_kernels(256, freq_scale="no")
+    assert wsin.shape == (129, 1, 256) and wmask.shape == (256,)
+
+    kern, fft_len, lengths, freqs = F.create_cqt_kernels(16.8, 22050, 55, 24, 12)
+    assert kern.shape[0] == 24 and kern.shape[1] == fft_len
+
+    mel = F.get_mel(22050, 1024, 64)
+    assert mel.shape == (64, 513)
+    gt = F.get_gammatone(22050, 1024, 64)
+    assert gt.shape == (64, 513)
+    ch = F.chroma(22050, 1024)
+    assert ch.shape == (12, 513)
+    assert F.nextpow2(513) == 9
+    fir = F.create_lowpass_filter(0.5, kernelLength=256, transitionBandwidth=0.001)
+    assert fir.shape == (256,)
