@@ -9,7 +9,7 @@ forward once per static-kwarg combination. Gradients flow through
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Iterable, Mapping
+from typing import Any, Callable, Mapping
 
 import jax
 import jax.numpy as jnp

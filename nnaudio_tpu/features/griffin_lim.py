@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import dot_precision
-from ..core.frame import num_frames, pad_signal
+from ..core.frame import pad_signal
 from ..core.overlap import (
     normalize_by_window_envelope,
     overlap_add,

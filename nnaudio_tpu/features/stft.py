@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..filters.fourier import create_fourier_basis
 from ..filters.windows import pad_center, window_dispatch
-from ..core.frame import broadcast_dim, num_frames, pad_signal
+from ..core.frame import broadcast_dim, pad_signal
 from ..core.apply import complex_stack, magnitude, phase_atan
 from ..core.overlap import (
     extend_fbins,

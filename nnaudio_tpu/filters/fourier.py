@@ -12,7 +12,6 @@ than the reference's per-bin Python loop — same math, MXU-shaped output.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Sequence
 
 import numpy as np
 
