@@ -10,6 +10,7 @@ from __future__ import annotations
 from ..core.apply import project
 from ..core.frame import broadcast_dim
 from ..filters.gammatone import gammatone_filterbank
+from ..ops.dispatch import framed_filterbank
 from .base import SpectralTransform
 from .stft import STFT
 
@@ -69,6 +70,16 @@ class Gammatonegram(SpectralTransform):
 
     def _forward(self, params, x):
         x = broadcast_dim(x)
+        if self.power == 2.0:
+            xs = x
+            if self.stft.center:
+                from ..core.frame import pad_signal
+
+                xs = pad_signal(x, self.stft.pad_amount, self.stft.pad_mode)
+            return framed_filterbank(
+                xs, params["wcos"], params["wsin"], params["gammatone_basis"],
+                self.stft.stride, eps=1e-8 if self.trainable_STFT else 0.0,
+            )
         spec = self.stft._power_spectrogram(params, x, self.power)
         return project(params["gammatone_basis"], spec)
 

@@ -137,6 +137,53 @@ def _pow_bwd(hop, res, g):
 framed_power.defvjp(_pow_fwd, _pow_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def framed_filterbank(x, wcos, wsin, fb, hop, eps=0.0):
+    """Fused ``fb @ (|STFT|^2 + eps)`` -> (B, n_mels, T): the whole
+    MelSpectrogram/Gammatonegram forward in one Pallas kernel — the
+    (B, F, T) spectrogram never exists in HBM."""
+    cfg = get_config()
+    if on_tpu() and cfg.use_pallas:
+        from .framed_matmul import framed_filterbank_pallas
+
+        out = framed_filterbank_pallas(
+            x, wcos, wsin, fb, hop,
+            highest=cfg.matmul_precision == "highest", eps=eps,
+        )
+        if out is not None:
+            return out
+    real, imag = _xla_pair(x, wcos, wsin, hop)
+    power = real * real + imag * imag
+    if eps:
+        power = power + eps
+    return jnp.einsum("gf,bft->bgt", fb, power, precision=dot_precision(),
+                      preferred_element_type=jnp.float32)
+
+
+def _fb_fwd(x, wcos, wsin, fb, hop, eps):
+    return framed_filterbank(x, wcos, wsin, fb, hop, eps), (x, wcos, wsin, fb)
+
+
+def _fb_bwd(hop, eps, res, g):
+    x, wcos, wsin, fb = res
+    real, imag = _xla_pair(x, wcos, wsin, hop)
+    prec = dot_precision()
+    power = real * real + imag * imag
+    if eps:
+        power = power + eps
+    d_fb = jnp.einsum("bgt,bft->gf", g, power, precision=prec,
+                      preferred_element_type=jnp.float32).astype(fb.dtype)
+    d_power = jnp.einsum("gf,bgt->bft", fb, g, precision=prec,
+                         preferred_element_type=jnp.float32)
+    d_x, d_wcos, d_wsin = _bwd(
+        hop, (x, wcos, wsin), (2 * d_power * real, 2 * d_power * imag)
+    )
+    return d_x, d_wcos, d_wsin, d_fb
+
+
+framed_filterbank.defvjp(_fb_fwd, _fb_bwd)
+
+
 def _mag_fwd(x, wcos, wsin, hop, eps):
     out = framed_magnitude(x, wcos, wsin, hop, eps)
     return out, (x, wcos, wsin, out)

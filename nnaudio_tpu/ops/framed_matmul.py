@@ -279,6 +279,140 @@ def framed_magnitude_pallas(x, wcos, wsin, hop, highest: bool, eps: float = 0.0,
                              highest, eps, square)
 
 
+def _fused_filterbank_kernel(
+    x_hbm, wcos_ref, wsin_ref, fb_ref, out_ref, slab, sem,
+    *, hop, n_fft, tile_t, prec, eps
+):
+    """Frame+matmul+power+filterbank in one pass: MelSpectrogram (or any
+    ``fb @ (|STFT|^2)`` composite) without the (B, F, T) spectrogram ever
+    existing. The output block's index map is constant over the frequency
+    grid axis, so it stays resident in VMEM and accumulates
+    ``P_tile @ fb_tile`` across frequency tiles."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    n_chunks = n_fft // hop
+
+    @pl.when(k == 0)
+    def _load_slab():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(j * tile_t, slab.shape[0]), :], slab, sem
+        )
+        dma.start()
+        dma.wait()
+        out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
+
+    real = jnp.zeros((tile_t, wcos_ref.shape[1]), jnp.float32)
+    imag = jnp.zeros((tile_t, wsin_ref.shape[1]), jnp.float32)
+    for c in range(n_chunks):
+        chunk = slab[c : c + tile_t, :]
+        real = real + jnp.dot(chunk, wcos_ref[c * hop : (c + 1) * hop, :],
+                              preferred_element_type=jnp.float32, precision=prec)
+        imag = imag + jnp.dot(chunk, wsin_ref[c * hop : (c + 1) * hop, :],
+                              preferred_element_type=jnp.float32, precision=prec)
+    power = real * real + imag * imag
+    if eps:
+        power = power + eps
+    out_ref[0, :, :] += jnp.dot(power, fb_ref[:, :],
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hop", "tile_t", "tile_f", "highest", "eps")
+)
+def _framed_filterbank(x, wcos_t, wsin_t, fb_t, hop, tile_t, tile_f, highest,
+                       eps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, length = x.shape
+    n_fft, f = wcos_t.shape
+    n_mels = fb_t.shape[1]
+    n_chunks = n_fft // hop
+    t_total = (length - n_fft) // hop + 1
+
+    n_t_tiles = -(-t_total // tile_t)
+    f_pad = -f % tile_f
+    if f_pad:
+        wcos_t = jnp.pad(wcos_t, ((0, 0), (0, f_pad)))
+        wsin_t = jnp.pad(wsin_t, ((0, 0), (0, f_pad)))
+        fb_t = jnp.pad(fb_t, ((0, f_pad), (0, 0)))
+    f_padded = f + f_pad
+    m_pad = -n_mels % 128
+    if m_pad:
+        fb_t = jnp.pad(fb_t, ((0, 0), (0, m_pad)))
+    m_padded = n_mels + m_pad
+
+    slab_rows = -(-(tile_t + n_chunks - 1) // 8) * 8
+    need = ((n_t_tiles - 1) * tile_t + slab_rows) * hop
+    if need > length:
+        x = jnp.pad(x, ((0, 0), (0, need - length)))
+    x2 = x[:, :need].reshape(b, -1, hop)
+
+    prec = (jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT)
+    kern = functools.partial(
+        _fused_filterbank_kernel, hop=hop, n_fft=n_fft, tile_t=tile_t,
+        prec=prec, eps=eps,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_t_tiles, f_padded // tile_f),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_f, m_padded), lambda i, j, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_t, m_padded), lambda i, j, k: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_t_tiles * tile_t, m_padded),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_total * n_fft * (2 * f + n_mels),
+            bytes_accessed=(b * need + 2 * n_fft * f_padded
+                            + b * t_total * n_mels) * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(x2, wcos_t, wsin_t, fb_t)
+    return jnp.swapaxes(out[:, :t_total, :n_mels], 1, 2)
+
+
+def framed_filterbank_pallas(x, wcos, wsin, fb, hop, highest: bool,
+                             eps: float = 0.0):
+    """Fused ``fb @ |STFT|^2``; returns None outside the supported envelope."""
+    if not framed_matmul_pair_supported(x, wcos, hop):
+        return None
+    n_fft = wcos.shape[-1]
+    t_total = (x.shape[-1] - n_fft) // hop + 1
+    tiles = _pick_tiles(n_fft, wcos.shape[0], t_total, hop, highest)
+    if tiles is None:
+        return None
+    tile_t, tile_f = tiles
+    n_mels = fb.shape[0]
+    # the filterbank block and resident output add to the VMEM bill
+    m_padded = n_mels + (-n_mels % 128)
+    extra = (tile_f * m_padded * 2 + tile_t * m_padded * 2) * 4
+    if extra > 2 * 1024 * 1024:
+        return None
+    wcos_t = jnp.asarray(wcos, jnp.float32).T
+    wsin_t = jnp.asarray(wsin, jnp.float32).T
+    fb_t = jnp.asarray(fb, jnp.float32).T
+    return _framed_filterbank(x, wcos_t, wsin_t, fb_t, hop, tile_t, tile_f,
+                              highest, eps)
+
+
 def framed_matmul_pair_supported(x, wcos, hop) -> bool:
     n_fft = wcos.shape[-1]
     length = x.shape[-1]
