@@ -149,3 +149,28 @@ def test_iter_host_batches(mesh8):
     assert len(out) == 3
     for i, arr in enumerate(out):
         assert np.array_equal(np.asarray(arr), batches[i])
+
+
+def test_time_sharded_mel_composite(mesh8):
+    """Filterbank projections are frame-local, so a mel spectrogram composes
+    with the time-sharded STFT under plain jit — XLA keeps the T axis
+    sharded through the projection."""
+    n_fft, hop = 512, 128
+    x = np.random.RandomState(10).randn(1, 8 * 1024).astype(np.float32)
+    stft_layer = features.STFT(n_fft=n_fft, hop_length=hop, center=False,
+                               output_format="Complex", verbose=False)
+    mel_layer = features.MelSpectrogram(n_fft=n_fft, hop_length=hop,
+                                        center=False, n_mels=32, sr=16000,
+                                        verbose=False)
+    wcos = stft_layer.params["wcos"]
+    wsin = stft_layer.params["wsin"]
+    fb = mel_layer.params["mel_basis"]
+
+    real, imag = parallel.time_sharded_stft(x, wcos, wsin, hop, mesh8)
+    mel_sharded = jax.jit(
+        lambda r, i, f: jnp.einsum("gf,bft->bgt", f, r * r + i * i)
+    )(real, imag, fb)
+
+    halo = n_fft - hop
+    want = np.asarray(mel_layer(np.pad(x, ((0, 0), (0, halo)))))
+    assert np.allclose(np.asarray(mel_sharded), want, rtol=1e-3, atol=1e-5)

@@ -55,3 +55,16 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     loaded = load_params(path)
     for k in layer.params:
         assert np.allclose(loaded[k], np.asarray(layer.params[k]))
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from nnaudio_tpu.utils import trace
+
+    layer = features.STFT(n_fft=256, hop_length=64, verbose=False)
+    x = np.random.RandomState(0).randn(1, 2048).astype(np.float32)
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        np.asarray(layer(x))
+    import glob
+
+    assert glob.glob(os.path.join(logdir, "**", "*"), recursive=True)
