@@ -18,9 +18,14 @@ class _Config:
     # jax.lax.Precision for basis matmuls: "highest" (fp32 parity, default)
     # or "default" (bf16 fast mode).
     matmul_precision: str = "highest"
-    # Fused Pallas kernels on TPU (currently the frame+matmul+magnitude
-    # epilogue kernel — 1.25-1.8x the XLA pipeline; see ops/dispatch.py).
+    # Fused Pallas kernels on TPU (currently the frame+matmul+magnitude/
+    # power/filterbank epilogue kernels — 1.25-1.8x the XLA pipeline; see
+    # ops/dispatch.py).
     use_pallas: bool = True
+    # The fused synthesis+overlap-add kernel measured ~15% slower than the
+    # XLA einsum + chunked slice-add path (kernel-block restreaming per
+    # grid step dominates); kept for future tuning, off by default.
+    use_pallas_synthesis: bool = False
 
 
 _config = _Config()

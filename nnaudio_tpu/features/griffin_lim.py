@@ -23,7 +23,7 @@ from ..core.overlap import (
 )
 from ..filters.fourier import create_fourier_basis
 from ..filters.windows import pad_center, window_dispatch
-from ..ops.dispatch import framed_basis_pair
+from ..ops.dispatch import framed_basis_pair, synthesis_ola
 from .base import SpectralTransform
 
 
@@ -83,13 +83,12 @@ class Griffin_Lim(SpectralTransform):
         once by the caller — inside the Griffin-Lim fixed-point loop it is
         iteration-invariant, and ``fori_loop`` bodies cannot hoist it."""
         X = spec_ri  # onesided; Hermitian fold baked into the kernels
-        prec = dot_precision()
-        frames = jnp.einsum("fj,bft->bjt", params["kernel_cos_inv"], X[..., 0],
-                            precision=prec, preferred_element_type=jnp.float32)
-        frames = frames - jnp.einsum("fj,bft->bjt", params["kernel_sin_inv"], X[..., 1],
-                                     precision=prec, preferred_element_type=jnp.float32)
-        frames = frames * params["window_mask"][None, :, None] / self.n_fft
-        signal = overlap_add(frames, self.hop_length)
+        w = params["window_mask"][None, :] / self.n_fft
+        signal = synthesis_ola(
+            X[..., 0], X[..., 1],
+            params["kernel_cos_inv"] * w, params["kernel_sin_inv"] * w,
+            self.hop_length,
+        )
         signal = normalize_by_window_envelope(signal, w_sum)
         return signal[:, self.pad_amount : -self.pad_amount]
 

@@ -29,7 +29,12 @@ from ..core.overlap import (
     overlap_add,
     window_sumsquare,
 )
-from ..ops.dispatch import framed_basis_pair, framed_magnitude, framed_power
+from ..ops.dispatch import (
+    framed_basis_pair,
+    framed_magnitude,
+    framed_power,
+    synthesis_ola,
+)
 from ..config import dot_precision
 from .base import SpectralTransform
 
@@ -69,7 +74,6 @@ def _inverse_stft_graph(
     the reference's explicit mirror — required when the full kernel bank is
     trainable so upper-half rows receive gradients, stft.py:439-524).
     """
-    prec = dot_precision()
     if onesided and fold_onesided and X.shape[1] == n_fft // 2 + 1:
         wt = hermitian_weights(n_fft, X.shape[1], X.dtype)
         kc = kernel_cos[: X.shape[1]] * wt[:, None]
@@ -78,15 +82,11 @@ def _inverse_stft_graph(
         if onesided:
             X = extend_fbins(X)
         kc, ks = kernel_cos, kernel_sin
-    X_real, X_imag = X[..., 0], X[..., 1]
-    # frames[b, j, t] = sum_f Re[f] cos(2pi j f/N) - Im[f] sin(2pi j f/N)
-    # (the DFT kernel matrices are symmetric in (f, j))
-    frames = jnp.einsum("fj,bft->bjt", kc, X_real, precision=prec,
-                        preferred_element_type=jnp.float32)
-    frames = frames - jnp.einsum("fj,bft->bjt", ks, X_imag, precision=prec,
-                                 preferred_element_type=jnp.float32)
-    frames = frames * window_mask[None, :, None] / n_fft
-    signal = overlap_add(frames, hop)  # (B, n_fft + hop*(T-1))
+    # window and 1/n_fft are per-output-sample scales: fold them into the
+    # kernel columns so synthesis+overlap-add runs as one fused op
+    kc = kc * window_mask[None, :] / n_fft
+    ks = ks * window_mask[None, :] / n_fft
+    signal = synthesis_ola(X[..., 0], X[..., 1], kc, ks, hop)
     w_sum = window_sumsquare(window_mask, X.shape[2], hop, n_fft)
     signal = normalize_by_window_envelope(signal, w_sum)
     if length is None:

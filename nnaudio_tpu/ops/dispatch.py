@@ -202,6 +202,52 @@ def _mag_bwd(hop, eps, res, g):
 framed_magnitude.defvjp(_mag_fwd, _mag_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def synthesis_ola(spec_re, spec_im, kc, ks, hop):
+    """Fused iSTFT synthesis: (B, F, T) spectra x (F, n_fft) fully-weighted
+    kernels -> (B, n_fft + hop*(T-1)) overlap-added signal, with the frame
+    tensor kept in VMEM on TPU. ``kc``/``ks`` carry window, 1/n_fft and
+    Hermitian-fold weights; the op computes ``OLA(kc^T Re - ks^T Im)``."""
+    cfg = get_config()
+    if on_tpu() and cfg.use_pallas and cfg.use_pallas_synthesis:
+        from .framed_matmul import synthesis_ola_pallas
+
+        out = synthesis_ola_pallas(
+            spec_re, spec_im, kc, ks, hop,
+            highest=cfg.matmul_precision == "highest",
+        )
+        if out is not None:
+            return out
+    prec = dot_precision()
+    frames = jnp.einsum("fj,bft->btj", kc, spec_re, precision=prec,
+                        preferred_element_type=jnp.float32)
+    frames = frames - jnp.einsum("fj,bft->btj", ks, spec_im, precision=prec,
+                                 preferred_element_type=jnp.float32)
+    length = kc.shape[1] + hop * (spec_re.shape[-1] - 1)
+    return frames_to_signal(frames, hop, length)
+
+
+def _ola_fwd(spec_re, spec_im, kc, ks, hop):
+    return synthesis_ola(spec_re, spec_im, kc, ks, hop), (spec_re, spec_im, kc, ks)
+
+
+def _ola_bwd(hop, res, g):
+    # the adjoint of synthesis+OLA is analysis: frame the cotangent signal
+    # and project it onto the same kernels
+    spec_re, spec_im, kc, ks = res
+    prec = dot_precision()
+    d_re, d_im_raw = _xla_pair(g, kc, ks, hop)
+    g_frames = frame_signal(g, kc.shape[1], hop)  # (B, T, n_fft)
+    d_kc = jnp.einsum("bft,btj->fj", spec_re, g_frames, precision=prec,
+                      preferred_element_type=jnp.float32).astype(kc.dtype)
+    d_ks = -jnp.einsum("bft,btj->fj", spec_im, g_frames, precision=prec,
+                       preferred_element_type=jnp.float32).astype(ks.dtype)
+    return d_re, -d_im_raw, d_kc, d_ks
+
+
+synthesis_ola.defvjp(_ola_fwd, _ola_bwd)
+
+
 def _fwd(x, wcos, wsin, hop):
     return framed_basis_pair(x, wcos, wsin, hop), (x, wcos, wsin)
 

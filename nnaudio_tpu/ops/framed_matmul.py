@@ -440,3 +440,150 @@ def framed_matmul_pair_pallas(x, wcos, wsin, hop):
     wcos_t = jnp.asarray(wcos, jnp.float32).T
     wsin_t = jnp.asarray(wsin, jnp.float32).T
     return _framed_matmul_pair(x, wcos_t, wsin_t, hop, tile_t, tile_f)
+
+
+def _synthesis_ola_kernel(
+    sre_hbm, sim_hbm, kc_ref, ks_ref, out_ref, slab_re, slab_im, sem,
+    *, hop, n_fft, tile_r, slab_cols, prec
+):
+    """Synthesis matmul + overlap-add in one pass (iSTFT hot path).
+
+    Output rows (of the (rows, hop) signal view) are produced tile by tile;
+    row r sums frame contributions ``fr[r-c][c*hop:(c+1)*hop]`` over the
+    ``n_chunks`` hop phases, each phase a (tile_r, F) x (F, hop) MXU matmul
+    against a shifted slice of the spectrum slab — the (B, n_fft, T) frame
+    tensor never exists. The frequency axis streams through the grid's
+    innermost dimension, accumulating into the resident output block.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    n_chunks = n_fft // hop
+    tile_f = kc_ref.shape[0]
+
+    @pl.when(k == 0)
+    def _zero():
+        out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
+
+    # spectrum slabs cover frames [j*tile_r - n_chunks + 1, j*tile_r + tile_r)
+    # (the caller pre-pads n_chunks-1 leading zero frames, so starts align)
+    dma_re = pltpu.make_async_copy(
+        sre_hbm.at[i, pl.ds(k * tile_f, tile_f), pl.ds(j * tile_r, slab_cols)],
+        slab_re, sem,
+    )
+    dma_re.start()
+    dma_re.wait()
+    dma_im = pltpu.make_async_copy(
+        sim_hbm.at[i, pl.ds(k * tile_f, tile_f), pl.ds(j * tile_r, slab_cols)],
+        slab_im, sem,
+    )
+    dma_im.start()
+    dma_im.wait()
+
+    acc = jnp.zeros((tile_r, hop), jnp.float32)
+    for c in range(n_chunks):
+        off = n_chunks - 1 - c
+        sr = slab_re[:, off : off + tile_r]
+        si = slab_im[:, off : off + tile_r]
+        kc_c = kc_ref[:, c * hop : (c + 1) * hop]
+        ks_c = ks_ref[:, c * hop : (c + 1) * hop]
+        dn = (((0,), (0,)), ((), ()))
+        acc = acc + jax.lax.dot_general(sr, kc_c, dn,
+                                        preferred_element_type=jnp.float32,
+                                        precision=prec)
+        acc = acc - jax.lax.dot_general(si, ks_c, dn,
+                                        preferred_element_type=jnp.float32,
+                                        precision=prec)
+    out_ref[0, :, :] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hop", "tile_r", "tile_f", "highest")
+)
+def _synthesis_ola(spec_re, spec_im, kc_t, ks_t, hop, tile_r, tile_f, highest):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, f, t = spec_re.shape
+    n_fft = kc_t.shape[1]
+    n_chunks = n_fft // hop
+    rows = t + n_chunks - 1  # output length rows*hop = n_fft + hop*(t-1)
+
+    n_r_tiles = -(-rows // tile_r)
+    slab_cols = -(-(tile_r + n_chunks - 1) // 128) * 128
+    # pad T axis: n_chunks-1 leading zero frames so slab starts are j*tile_r,
+    # plus trailing pad covering the last slab
+    t_pad_end = (n_r_tiles - 1) * tile_r + slab_cols - (n_chunks - 1) - t
+    spec_re = jnp.pad(spec_re, ((0, 0), (0, 0),
+                                (n_chunks - 1, max(0, t_pad_end))))
+    spec_im = jnp.pad(spec_im, ((0, 0), (0, 0),
+                                (n_chunks - 1, max(0, t_pad_end))))
+
+    f_pad = -f % tile_f
+    if f_pad:
+        spec_re = jnp.pad(spec_re, ((0, 0), (0, f_pad), (0, 0)))
+        spec_im = jnp.pad(spec_im, ((0, 0), (0, f_pad), (0, 0)))
+        kc_t = jnp.pad(kc_t, ((0, f_pad), (0, 0)))
+        ks_t = jnp.pad(ks_t, ((0, f_pad), (0, 0)))
+    f_padded = f + f_pad
+
+    prec = (jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT)
+    kern = functools.partial(
+        _synthesis_ola_kernel, hop=hop, n_fft=n_fft, tile_r=tile_r,
+        slab_cols=slab_cols, prec=prec,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_r_tiles, f_padded // tile_f),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_f, n_fft), lambda i, j, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_f, n_fft), lambda i, j, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_r, hop), lambda i, j, k: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_r_tiles * tile_r, hop),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_f, slab_cols), jnp.float32),
+            pltpu.VMEM((tile_f, slab_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * t * f * n_fft,
+            bytes_accessed=(2 * b * f_padded * t + 2 * f_padded * n_fft
+                            + b * rows * hop) * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(spec_re, spec_im, kc_t, ks_t)
+    return out.reshape(b, -1)[:, : rows * hop]
+
+
+def synthesis_ola_pallas(spec_re, spec_im, kc, ks, hop, highest: bool):
+    """Fused iSTFT synthesis+OLA. ``kc``/``ks``: (F, n_fft) kernels with the
+    window, 1/n_fft and Hermitian fold weights pre-applied.
+    Returns (B, n_fft + hop*(T-1)) un-normalized signal, or None when the
+    configuration is outside the kernel envelope."""
+    n_fft = kc.shape[1]
+    if not (hop > 0 and n_fft % hop == 0 and hop % 128 == 0
+            and spec_re.dtype == jnp.float32):
+        return None
+    f = kc.shape[0]
+    tile_f = 256 if f >= 256 else -(-f // 8) * 8
+    tile_r = 256
+    n_chunks = n_fft // hop
+    slab_cols = -(-(tile_r + n_chunks - 1) // 128) * 128
+    vmem = (2 * 2 * tile_f * n_fft + 2 * tile_f * slab_cols
+            + 2 * tile_r * hop) * 4
+    if vmem > _VMEM_BUDGET:
+        return None
+    return _synthesis_ola(spec_re, spec_im, jnp.asarray(kc, jnp.float32),
+                          jnp.asarray(ks, jnp.float32), hop, tile_r, tile_f,
+                          highest)

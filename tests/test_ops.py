@@ -148,3 +148,55 @@ def test_framed_magnitude_custom_vjp():
     # d/dθ sum(mag^2) == d/dθ sum(r^2+i^2+eps): identical gradients
     for a, b in zip(g1, g2):
         assert np.allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_synthesis_ola_interpreted():
+    """The (off-by-default) fused synthesis+OLA kernel matches the XLA path."""
+    from nnaudio_tpu.filters.fourier import create_fourier_basis
+    from nnaudio_tpu.features.stft import hermitian_weights
+
+    n_fft, hop, F, B, T = 512, 128, 257, 2, 21
+    basis = create_fourier_basis(n_fft, window="hann")
+    wt = np.asarray(hermitian_weights(n_fft, F))
+    w = np.asarray(basis.window_mask)
+    kc = jnp.asarray(basis.wcos * wt[:, None] * w[None, :] / n_fft)
+    ks = jnp.asarray(basis.wsin * wt[:, None] * w[None, :] / n_fft)
+    rng = np.random.RandomState(1)
+    sre = jnp.asarray(rng.randn(B, F, T).astype(np.float32))
+    sim = jnp.asarray(rng.randn(B, F, T).astype(np.float32))
+
+    framed_matmul._INTERPRET = True
+    try:
+        got = framed_matmul.synthesis_ola_pallas(sre, sim, kc, ks, hop,
+                                                 highest=True)
+    finally:
+        framed_matmul._INTERPRET = False
+    frames = (jnp.einsum("fj,bft->btj", kc, sre)
+              - jnp.einsum("fj,bft->btj", ks, sim))
+    want = frames_to_signal(frames, hop, n_fft + hop * (T - 1))
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_synthesis_ola_custom_vjp():
+    from nnaudio_tpu.filters.fourier import create_fourier_basis
+
+    n_fft, hop, F, T = 64, 16, 33, 5
+    basis = create_fourier_basis(n_fft, window="hann")
+    kc = jnp.asarray(basis.wcos / n_fft)
+    ks = jnp.asarray(basis.wsin / n_fft)
+    rng = np.random.RandomState(2)
+    sre = jnp.asarray(rng.randn(1, F, T).astype(np.float32))
+    sim = jnp.asarray(rng.randn(1, F, T).astype(np.float32))
+
+    def loss_custom(sre, sim, kc, ks):
+        return jnp.sum(dispatch.synthesis_ola(sre, sim, kc, ks, hop) ** 2)
+
+    def loss_ref(sre, sim, kc, ks):
+        frames = (jnp.einsum("fj,bft->btj", kc, sre)
+                  - jnp.einsum("fj,bft->btj", ks, sim))
+        return jnp.sum(frames_to_signal(frames, hop, n_fft + hop * (T - 1)) ** 2)
+
+    g1 = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(sre, sim, kc, ks)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(sre, sim, kc, ks)
+    for a, b in zip(g1, g2):
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-5)
