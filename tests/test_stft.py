@@ -139,3 +139,20 @@ def test_trainable_stft_grad():
     for k, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), k
         assert np.abs(np.asarray(g)).max() > 0, k
+
+
+@pytest.mark.parametrize("n_fft,hop,window", [
+    (512, 64, "hann"), (512, 128, "hamming"), (512, 256, "hann"),
+    (1024, 128, "blackman"), (300, 75, "hann"), (1024, 320, "hann"),
+])
+def test_istft_roundtrip_grid(n_fft, hop, window):
+    """COLA round-trip across window/hop combinations (incl. non-pow2 n_fft
+    and hop not dividing n_fft)."""
+    rng = np.random.RandomState(42)
+    x = rng.randn(2, 6000).astype(np.float32)
+    stft = features.STFT(n_fft=n_fft, hop_length=hop, window=window,
+                         output_format="Complex", verbose=False)
+    istft = features.iSTFT(n_fft=n_fft, hop_length=hop, window=window,
+                           verbose=False)
+    rec = np.asarray(istft(stft(x), onesided=True, length=6000))
+    assert np.allclose(rec, x, rtol=1e-3, atol=1e-3)
