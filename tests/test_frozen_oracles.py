@@ -89,3 +89,61 @@ def test_cfp_frozen(oracles):
     # the relu(x)^0.24 layers amplify fp32 noise near zero (d/dx -> inf);
     # the reference's own CFP test runs at log-domain atol=2.5
     close(out, oracles["cfp_Z"], tol=1e-2)
+
+
+def test_cqt1992_frozen(oracles):
+    if "cqt1992_40" not in oracles:
+        pytest.skip("oracle not frozen")
+    x = oracles["input"][None]
+    out = features.CQT1992(sr=16000, fmin=220, n_bins=40, bins_per_octave=12,
+                           hop_length=256)(x, output_format="Complex")
+    close(out, oracles["cqt1992_40"])
+
+
+def test_cqt2010_frozen(oracles):
+    if "cqt2010_48" not in oracles:
+        pytest.skip("oracle not frozen")
+    x = oracles["input"][None]
+    out = features.CQT2010(sr=16000, fmin=55, n_bins=48, bins_per_octave=12,
+                           hop_length=256, verbose=False)(
+        x, output_format="Complex")
+    close(out, oracles["cqt2010_48"])
+
+
+def test_vqt_gamma5_frozen(oracles):
+    if "vqt_g5_48" not in oracles:
+        pytest.skip("oracle not frozen")
+    x = oracles["input"][None]
+    out = features.VQT(sr=16000, fmin=55, n_bins=48, bins_per_octave=12,
+                       hop_length=256, gamma=5, verbose=False)(
+        x, output_format="Complex")
+    close(out, oracles["vqt_g5_48"])
+
+
+def test_stft_short_window_frozen(oracles):
+    if "stft_hamming_short_win" not in oracles:
+        pytest.skip("oracle not frozen")
+    x = oracles["input"][None]
+    out = features.STFT(n_fft=1024, win_length=400, hop_length=160,
+                        window="hamming", output_format="Complex",
+                        verbose=False)(x)
+    close(out, oracles["stft_hamming_short_win"])
+
+
+def test_stft_linear_scale_frozen(oracles):
+    if "stft_linear_scale" not in oracles:
+        pytest.skip("oracle not frozen")
+    x = oracles["input"][None]
+    out = features.STFT(n_fft=1024, freq_bins=128, hop_length=256,
+                        freq_scale="linear", fmin=50, fmax=6000, sr=16000,
+                        output_format="Complex", verbose=False)(x)
+    close(out, oracles["stft_linear_scale"])
+
+
+def test_istft_frozen(oracles):
+    if "istft_roundtrip" not in oracles:
+        pytest.skip("oracle not frozen")
+    spec = oracles["stft_complex_1024_256"]
+    out = features.iSTFT(n_fft=1024, hop_length=256, verbose=False)(
+        spec, onesided=True, length=16000)
+    close(out, oracles["istft_roundtrip"], tol=1e-4)

@@ -64,6 +64,30 @@ def main():
         gamma=2, output_format="Complex", verbose=False
     )(xt).numpy()
     arrays["cfp_Z"] = ref.CFP()(xt).numpy()
+    arrays["cqt1992_40"] = ref.CQT1992(
+        sr=fs, fmin=220, n_bins=40, bins_per_octave=12, hop_length=256,
+        output_format="Complex"
+    )(xt, output_format="Complex").numpy()
+    arrays["cqt2010_48"] = ref.CQT2010(
+        sr=fs, fmin=55, n_bins=48, bins_per_octave=12, hop_length=256,
+        output_format="Complex", verbose=False
+    )(xt, output_format="Complex").numpy()
+    arrays["vqt_g5_48"] = ref.VQT(
+        sr=fs, fmin=55, n_bins=48, bins_per_octave=12, hop_length=256,
+        gamma=5, output_format="Complex", verbose=False
+    )(xt).numpy()
+    arrays["stft_hamming_short_win"] = ref.STFT(
+        n_fft=1024, win_length=400, hop_length=160, window="hamming",
+        output_format="Complex", verbose=False
+    )(xt).numpy()
+    arrays["stft_linear_scale"] = ref.STFT(
+        n_fft=1024, freq_bins=128, hop_length=256, freq_scale="linear",
+        fmin=50, fmax=6000, sr=fs, output_format="Complex", verbose=False
+    )(xt).numpy()
+    arrays["istft_roundtrip"] = ref.iSTFT(
+        n_fft=1024, hop_length=256, verbose=False
+    )(torch.tensor(arrays["stft_complex_1024_256"]), onesided=True,
+      length=fs).numpy()
 
     path = os.path.join(OUT, "reference_oracles.npz")
     np.savez_compressed(path, **arrays)
