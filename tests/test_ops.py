@@ -200,3 +200,47 @@ def test_synthesis_ola_custom_vjp():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(sre, sim, kc, ks)
     for a, b in zip(g1, g2):
         assert np.allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_fused_filterbank_interpreted():
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 4096).astype(np.float32))
+    wcos = jnp.asarray(rng.randn(129, 1024).astype(np.float32))
+    wsin = jnp.asarray(rng.randn(129, 1024).astype(np.float32))
+    fb = jnp.asarray(np.abs(rng.randn(48, 129)).astype(np.float32))
+    hop = 256
+    framed_matmul._INTERPRET = True
+    try:
+        got = framed_matmul.framed_filterbank_pallas(x, wcos, wsin, fb, hop,
+                                                     highest=True)
+        got_eps = framed_matmul.framed_filterbank_pallas(x, wcos, wsin, fb,
+                                                         hop, highest=True,
+                                                         eps=1e-8)
+    finally:
+        framed_matmul._INTERPRET = False
+    real, imag = dispatch._xla_pair(x, wcos, wsin, hop)
+    power = real ** 2 + imag ** 2
+    want = jnp.einsum("gf,bft->bgt", fb, power)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-3), np.abs(got-want).max()
+    want_eps = jnp.einsum("gf,bft->bgt", fb, power + 1e-8)
+    assert np.allclose(got_eps, want_eps, rtol=1e-4, atol=1e-3)
+
+
+def test_framed_filterbank_custom_vjp():
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+    wcos = jnp.asarray(rng.randn(17, 64).astype(np.float32))
+    wsin = jnp.asarray(rng.randn(17, 64).astype(np.float32))
+    fb = jnp.asarray(np.abs(rng.randn(6, 17)).astype(np.float32))
+
+    def loss_fused(x, wc, ws, f):
+        return jnp.sum(dispatch.framed_filterbank(x, wc, ws, f, 16, 1e-8) ** 2)
+
+    def loss_ref(x, wc, ws, f):
+        r, i = dispatch._xla_pair(x, wc, ws, 16)
+        return jnp.sum(jnp.einsum("gf,bft->bgt", f, r * r + i * i + 1e-8) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, wcos, wsin, fb)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, wcos, wsin, fb)
+    for a, b in zip(g1, g2):
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-4)
