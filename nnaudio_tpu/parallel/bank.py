@@ -70,3 +70,80 @@ def bank_sharded_apply(transform, mesh: Mesh, **static_kwargs):
         return fwd(merged, shard_batch(x, mesh))
 
     return run
+
+
+def contraction_sharded_cqt1992(transform, mesh: Mesh, axis: str = "model",
+                                **static_kwargs):
+    """Tensor-parallel CQT1992 with the **contraction** axis sharded: each
+    chip holds a slice of the Fourier bins and the matching kernel columns,
+    computes its partial complex product, and the partials are reduced with
+    ``psum`` over the ``axis`` ring (the BASELINE "psum reduction of
+    partial-band outputs" strategy — complements the reduction-free row
+    sharding of :func:`bank_sharded_apply`).
+
+    Requires the two-stage (trainable-style) CQT1992 parameterization:
+    ``wcos/wsin`` row-sharded over Fourier bins, ``cqt_kernels_*``
+    column-sharded over the same bins.
+    """
+    import jax.numpy as jnp
+    from jax import lax, shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.frame import pad_signal
+    from ..config import dot_precision
+
+    import jax.numpy as _jnp
+
+    n = mesh.shape[axis]
+    p = dict(transform.params)
+    f_in = p["wcos"].shape[0]
+    f_pad = -f_in % n
+    if f_pad:
+        # zero Fourier-bin rows / kernel columns contribute nothing — pad the
+        # contraction axis to a shardable size, exactly
+        p["wcos"] = _jnp.pad(p["wcos"], ((0, f_pad), (0, 0)))
+        p["wsin"] = _jnp.pad(p["wsin"], ((0, f_pad), (0, 0)))
+        p["cqt_kernels_real"] = _jnp.pad(p["cqt_kernels_real"], ((0, 0), (0, f_pad)))
+        p["cqt_kernels_imag"] = _jnp.pad(p["cqt_kernels_imag"], ((0, 0), (0, f_pad)))
+    hop = transform.hop_length
+    width = transform.kernel_width
+    pad_amount = width // 2 if transform.center else 0
+    pad_mode = transform.pad_mode
+
+    def local(x, wcos, wsin, kr, ki, lengths):
+        # x replicated; wcos/wsin: this shard's Fourier-bin rows;
+        # kr/ki: the matching kernel columns
+        prec = dot_precision()
+        if pad_amount:
+            x = pad_signal(x, pad_amount, pad_mode)
+        from ..ops.dispatch import framed_basis_pair
+
+        fr, fi = framed_basis_pair(x, wcos, wsin, hop)
+        part_re = (jnp.einsum("gf,bft->bgt", kr, fr, precision=prec)
+                   - jnp.einsum("gf,bft->bgt", ki, fi, precision=prec))
+        part_im = (jnp.einsum("gf,bft->bgt", kr, fi, precision=prec)
+                   + jnp.einsum("gf,bft->bgt", ki, fr, precision=prec))
+        cqt_re = lax.psum(part_re, axis)   # reduce partial products over ICI
+        cqt_im = lax.psum(part_im, axis)
+        scale = jnp.sqrt(lengths)[None, :, None] / width
+        real_n, imag_n = cqt_re * scale, -cqt_im * scale
+        return jnp.sqrt(real_n ** 2 + imag_n ** 2)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None),
+                  P(None, axis), P(None, axis), P()),
+        out_specs=P(),
+    )
+    jitted = jax.jit(fn)
+
+    def run(x):
+        import jax.numpy as jnp
+
+        return jitted(
+            jnp.asarray(x), p["wcos"], p["wsin"],
+            p["cqt_kernels_real"], p["cqt_kernels_imag"], p["lenghts"],
+        )
+
+    return run

@@ -174,3 +174,17 @@ def test_time_sharded_mel_composite(mesh8):
     halo = n_fft - hop
     want = np.asarray(mel_layer(np.pad(x, ((0, 0), (0, halo)))))
     assert np.allclose(np.asarray(mel_sharded), want, rtol=1e-3, atol=1e-5)
+
+
+def test_contraction_sharded_cqt1992_psum(mesh24):
+    """BASELINE north star: kernel bank sharded over the contraction
+    (Fourier-bin) axis with psum of partial products == replicated result."""
+    x = np.random.RandomState(12).randn(2, 8192).astype(np.float32)
+    layer = features.CQT1992(sr=16000, fmin=220, n_bins=40, bins_per_octave=12,
+                             hop_length=256, trainable_CQT=True)  # two-stage path
+    want = np.asarray(layer(x, output_format="Magnitude",
+                            normalization_type="librosa"))
+    run = parallel.bank.contraction_sharded_cqt1992(layer, mesh24)
+    got = np.asarray(run(x))
+    assert got.shape == want.shape
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-4), np.abs(got - want).max()
