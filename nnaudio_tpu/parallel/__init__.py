@@ -15,7 +15,12 @@ strictly stronger:
 """
 from .mesh import make_mesh, local_batch_sharding, replicate
 from .data import data_parallel, shard_batch
-from .bank import shard_kernel_bank, bank_sharded_apply
+from . import bank
+from .bank import (
+    bank_sharded_apply,
+    contraction_sharded_cqt1992,
+    shard_kernel_bank,
+)
 from .timeshard import time_sharded_stft, time_sharded_istft
 from .input import (
     distributed_initialize,
@@ -31,6 +36,7 @@ __all__ = [
     "shard_batch",
     "shard_kernel_bank",
     "bank_sharded_apply",
+    "contraction_sharded_cqt1992",
     "time_sharded_stft",
     "time_sharded_istft",
     "distributed_initialize",
