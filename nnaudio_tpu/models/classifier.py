@@ -37,7 +37,9 @@ class SpectrogramClassifier:
     def forward(self, params, x):
         """(B, L) waveforms -> (B, n_classes) logits."""
         mel = self.frontend._forward(params, x)  # (B, M, T)
-        feats = jnp.mean(jnp.log(mel + 1e-6), axis=-1)  # (B, M)
+        # clamp before the log: once the mel basis trains, projections can go
+        # negative and an unguarded log NaNs the whole optimization
+        feats = jnp.mean(jnp.log(jnp.maximum(mel, 0.0) + 1e-6), axis=-1)
         return feats @ params["head_w"] + params["head_b"]
 
     def loss_fn(self, params, x, labels):
