@@ -90,11 +90,14 @@ class Griffin_Lim(SpectralTransform):
             self.hop_length,
         )
         signal = normalize_by_window_envelope(signal, w_sum)
-        return signal[:, self.pad_amount : -self.pad_amount]
+        if self.center:
+            return signal[:, self.pad_amount : -self.pad_amount]
+        return signal
 
     def _stft(self, params, x):
         """(B, L) -> (B, F, T, 2) torch-convention complex stack."""
-        x = pad_signal(x, self.pad_amount, self.pad_mode)
+        if self.center:
+            x = pad_signal(x, self.pad_amount, self.pad_mode)
         real, imag_raw = framed_basis_pair(
             x, params["wcos"], params["wsin"], self.hop_length
         )

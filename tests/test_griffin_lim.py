@@ -52,3 +52,14 @@ def test_griffin_lim_output_length():
     S = np.abs(np.random.RandomState(0).randn(2, 257, 21)).astype(np.float32)
     out = np.asarray(gl(S))
     assert out.shape == (2, 20 * 128)
+
+
+def test_griffin_lim_center_false():
+    """center=False parity: output length n_fft + hop*(T-1); loop must keep
+    frame counts consistent without the center pad."""
+    gl = features.Griffin_Lim(n_fft=512, hop_length=128, n_iter=4,
+                              center=False)
+    S = np.abs(np.random.RandomState(3).randn(1, 257, 9)).astype(np.float32)
+    out = np.asarray(gl(S))
+    assert out.shape == (1, 512 + 128 * 8)
+    assert np.isfinite(out).all()
