@@ -256,7 +256,43 @@ def _bwd(hop, res, grads):
     x, wcos, wsin = res
     g_real, g_imag = grads
     prec = dot_precision()
-    frames = frame_signal(x, wcos.shape[-1], hop)  # (B, T, N)
+    n_fft = wcos.shape[-1]
+    b, length = x.shape
+    t_total = g_real.shape[-1]
+
+    if n_fft % hop == 0 and n_fft // hop <= 32:
+        # hop-decomposition backward: neither the frame tensor nor the
+        # cotangent frame tensor is materialized (a (B, T, 16384) frame
+        # tensor for a trainable default CQT1992v2 would be ~900MB at B=32)
+        n_chunks = n_fft // hop
+        rows = t_total + n_chunks - 1
+        need = rows * hop
+        xp = jnp.pad(x, ((0, 0), (0, max(0, need - length))))
+        x2 = xp[:, :need].reshape(b, rows, hop)
+        d_wcos = jnp.zeros_like(wcos)
+        d_wsin = jnp.zeros_like(wsin)
+        d_x2 = jnp.zeros((b, rows, hop), jnp.float32)
+        for c in range(n_chunks):
+            chunk = x2[:, c : c + t_total, :]  # (B, T, hop)
+            sl = slice(c * hop, (c + 1) * hop)
+            d_wcos = d_wcos.at[:, sl].add(
+                jnp.einsum("bft,bth->fh", g_real, chunk, precision=prec,
+                           preferred_element_type=jnp.float32).astype(wcos.dtype))
+            d_wsin = d_wsin.at[:, sl].add(
+                jnp.einsum("bft,bth->fh", g_imag, chunk, precision=prec,
+                           preferred_element_type=jnp.float32).astype(wsin.dtype))
+            d_chunk = jnp.einsum("bft,fh->bth", g_real, wcos[:, sl], precision=prec,
+                                 preferred_element_type=jnp.float32)
+            d_chunk = d_chunk + jnp.einsum("bft,fh->bth", g_imag, wsin[:, sl],
+                                           precision=prec,
+                                           preferred_element_type=jnp.float32)
+            d_x2 = d_x2.at[:, c : c + t_total, :].add(d_chunk)
+        d_x = d_x2.reshape(b, need)[:, :length].astype(x.dtype)
+        if need < length:
+            d_x = jnp.pad(d_x, ((0, 0), (0, length - need)))
+        return d_x, d_wcos, d_wsin
+
+    frames = frame_signal(x, n_fft, hop)  # (B, T, N)
     d_wcos = jnp.einsum("bft,btn->fn", g_real, frames, precision=prec,
                         preferred_element_type=jnp.float32).astype(wcos.dtype)
     d_wsin = jnp.einsum("bft,btn->fn", g_imag, frames, precision=prec,

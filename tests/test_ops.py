@@ -244,3 +244,30 @@ def test_framed_filterbank_custom_vjp():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, wcos, wsin, fb)
     for a, b in zip(g1, g2):
         assert np.allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_backward_hopdec_with_tail_samples():
+    """Backward hop-decomposition path: signals with samples beyond the last
+    frame must get zero gradient there and match the gather-path autodiff."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 530).astype(np.float32))  # 18 tail samples
+    wcos = jnp.asarray(rng.randn(17, 64).astype(np.float32))
+    wsin = jnp.asarray(rng.randn(17, 64).astype(np.float32))
+
+    def loss_custom(x, wc, ws):
+        r, i = dispatch.framed_basis_pair(x, wc, ws, 16)
+        return jnp.sum(jnp.sin(r)) + jnp.sum(i ** 2)
+
+    def loss_ref(x, wc, ws):
+        from nnaudio_tpu.core.apply import apply_basis
+
+        frames = frame_signal(x, 64, 16)
+        r, i = apply_basis(frames, wc), apply_basis(frames, ws)
+        return jnp.sum(jnp.sin(r)) + jnp.sum(i ** 2)
+
+    g1 = jax.grad(loss_custom, argnums=(0, 1, 2))(x, wcos, wsin)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, wcos, wsin)
+    for a, b in zip(g1, g2):
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-4)
+    # tail samples past the last frame: zero gradient
+    assert np.array_equal(np.asarray(g1[0][:, -2:]), np.zeros((2, 2)))
