@@ -197,3 +197,46 @@ def test_combined_cfp_parity(ref, torchmod):
     want = theirs(torchmod.tensor(SIG[:1]))
     for g, w in zip(got, want):
         close(np.asarray(g), w.numpy(), tol=1e-3)
+
+
+def test_cqt2010v2_early_downsample_active_parity(ref, torchmod):
+    """Config that actually triggers early downsampling (factor 2): low fmin
+    with a large hop — exercises the downsample-count calculus, the 0.03-
+    transition FIR, and the rescaled kernel/length arithmetic."""
+    from nnaudio_tpu import features
+
+    kw = dict(sr=44100, fmin=20, n_bins=84, bins_per_octave=12,
+              hop_length=2048, verbose=False)
+    ours = features.CQT2010v2(**kw)
+    assert ours.earlydownsample and ours.downsample_factor == 2
+    x = np.random.RandomState(3).randn(1, 44100).astype(np.float32)
+    close(np.asarray(ours(x, output_format="Complex")),
+          ref.CQT2010v2(**kw)(torchmod.tensor(x), output_format="Complex").numpy())
+
+
+def test_vqt_early_downsample_active_parity(ref, torchmod):
+    """Same active-downsampling config through VQT, which keeps the
+    reference's quirk of building per-octave kernels from the ORIGINAL sr."""
+    from nnaudio_tpu import features
+
+    kw = dict(sr=44100, fmin=20, n_bins=84, bins_per_octave=12,
+              hop_length=2048, gamma=3, verbose=False)
+    ours = features.VQT(**kw)
+    assert ours.earlydownsample
+    x = np.random.RandomState(3).randn(1, 44100).astype(np.float32)
+    close(np.asarray(ours(x, output_format="Complex")),
+          ref.VQT(**kw)(torchmod.tensor(x), output_format="Complex").numpy())
+
+
+def test_chroma_filterbank_parity(ref):
+    """Our chroma bank vs the reference's vendored (never-exposed) builder."""
+    import sys
+
+    sys.path.insert(0, REF)
+    from nnAudio.librosa_functions import chroma as ref_chroma
+
+    from nnaudio_tpu.filters.chroma import chroma_filterbank
+
+    got = chroma_filterbank(22050, 2048, n_chroma=12)
+    want = ref_chroma(22050, 2048, n_chroma=12)[:, : 1 + 2048 // 2]
+    assert np.allclose(got, np.asarray(want, np.float32), atol=1e-5)
