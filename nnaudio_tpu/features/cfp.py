@@ -26,6 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 from scipy.signal.windows import blackmanharris
 
+from ..config import dot_precision
 from ..core.apply import project
 from ..core.frame import broadcast_dim, frame_signal
 from ..filters.cfp import cfp_logfreq_matrices
@@ -91,6 +92,16 @@ class Combined_Frequency_Periodicity(SpectralTransform):
         self._register("freq2logfreq_matrix", freq_mat.astype(np.float32))
         self._register("quef2logfreq_matrix", quef_mat.astype(np.float32))
 
+        k = self._final_dft_rows()
+        if k:
+            # truncated real-DFT basis for the final layer: Re(FFT)[0:k]
+            kk = np.arange(k)[:, None]
+            nn = np.arange(self.N)[None, :]
+            self._register(
+                "dft_trunc",
+                np.cos(2 * np.pi * kk * nn / self.N).astype(np.float32),
+            )
+
     # ------------------------------------------------------------- helpers --
     def _cutoff_mask(self, cutoff: int, dtype=jnp.float32) -> jnp.ndarray:
         mask = np.ones(self.N, dtype=np.float32)
@@ -106,18 +117,56 @@ class Combined_Frequency_Periodicity(SpectralTransform):
             return (jnp.maximum(X, 0.0) * mask) ** g * mask
         return jnp.log(jnp.maximum(X, 0.0) + _EPSILON) * mask
 
-    def _cfp_layers(self, spec):
-        """Alternating cepstral/spectral nonlinear layers (cfp.py:119-135)."""
+    def _final_dft_rows(self) -> int:
+        """Output bins actually consumed from the LAST layer (everything past
+        them is cropped in ``_forward``), or 0 when no truncation applies."""
+        if self.NumofLayer < 2:
+            return 0
+        final_is_spec = (self.NumofLayer - 1) % 2 == 0
+        k = self.HighFreqIdx if final_is_spec else self.HighQuefIdx
+        return k if k < self.N // 2 else 0
+
+    def _nonlinear_trunc(self, X, g: float, cutoff: int):
+        """Nonlinearity on a truncated transform: only the leading-cutoff
+        mask applies (the trailing-cutoff region was never computed)."""
+        mask = np.ones(X.shape[-1], dtype=np.float32)
+        if int(cutoff) > 0:
+            mask[: int(cutoff)] = 0.0
+        mask = jnp.asarray(mask, X.dtype)
+        if g != 0:
+            return (jnp.maximum(X, 0.0) * mask) ** g * mask
+        return jnp.log(jnp.maximum(X, 0.0) + _EPSILON) * mask
+
+    def _cfp_layers(self, spec, dft_trunc=None):
+        """Alternating cepstral/spectral nonlinear layers (cfp.py:119-135).
+
+        The final layer's real-DFT is truncated to the bins the caller keeps
+        (~N/16 of them) as a basis matmul — the full-length FFT there is
+        wasted work."""
         spec = jnp.maximum(spec, 0.0) ** self.g[0]
         ceps = jnp.zeros_like(spec)
         sqrt_n = np.sqrt(self.N)
+        prec = dot_precision()
         for gc in range(1, self.NumofLayer):
+            last = gc == self.NumofLayer - 1 and dft_trunc is not None
             if gc % 2 == 1:
-                ceps = _real_fft(spec, self.N) / sqrt_n
-                ceps = self._nonlinear(ceps, self.g[gc], self.tc_idx)
+                if last:
+                    ceps = jnp.einsum("btn,kn->btk", spec, dft_trunc,
+                                      precision=prec,
+                                      preferred_element_type=jnp.float32) / sqrt_n
+                    ceps = self._nonlinear_trunc(ceps, self.g[gc], self.tc_idx)
+                else:
+                    ceps = _real_fft(spec, self.N) / sqrt_n
+                    ceps = self._nonlinear(ceps, self.g[gc], self.tc_idx)
             else:
-                spec = _real_fft(ceps, self.N) / sqrt_n
-                spec = self._nonlinear(spec, self.g[gc], self.fc_idx)
+                if last:
+                    spec = jnp.einsum("btn,kn->btk", ceps, dft_trunc,
+                                      precision=prec,
+                                      preferred_element_type=jnp.float32) / sqrt_n
+                    spec = self._nonlinear_trunc(spec, self.g[gc], self.fc_idx)
+                else:
+                    spec = _real_fft(ceps, self.N) / sqrt_n
+                    spec = self._nonlinear(spec, self.g[gc], self.fc_idx)
         return spec, ceps
 
     def _stft_mag(self, params, x):
@@ -141,7 +190,7 @@ class Combined_Frequency_Periodicity(SpectralTransform):
         tfr0 = self._stft_mag(params, x)  # (B, T, N)
         if self._trim_edge_frames:
             tfr0 = tfr0[:, 1:-1]
-        tfr, ceps = self._cfp_layers(tfr0)
+        tfr, ceps = self._cfp_layers(tfr0, params.get("dft_trunc"))
 
         half = int(round(self.N / 2))
         tfr0 = tfr0[:, :, :half][:, :, : self.HighFreqIdx]
