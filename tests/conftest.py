@@ -19,7 +19,10 @@ import jax
 # force CPU regardless of the ambient platform (axon/TPU): the unit suite is
 # the multi-device-simulation tier; TPU runs go through bench/verify. NOTE the
 # axon plugin ignores the JAX_PLATFORMS env var — only the config flag works.
-jax.config.update("jax_platforms", "cpu")
+# Set NNAUDIO_TEST_PLATFORM=tpu to run the suite on the real chip instead
+# (sharding tests then skip unless enough devices exist).
+if os.environ.get("NNAUDIO_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/nnaudio_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

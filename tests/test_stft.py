@@ -156,3 +156,22 @@ def test_istft_roundtrip_grid(n_fft, hop, window):
                            verbose=False)
     rec = np.asarray(istft(stft(x), onesided=True, length=6000))
     assert np.allclose(rec, x, rtol=1e-3, atol=1e-3)
+
+
+def test_parseval_energy():
+    """Parseval: with a rectangular window and hop=n_fft (disjoint frames),
+    sum |X|^2 / n_fft == sum x^2 over the covered samples."""
+    n_fft = 256
+    rng = np.random.RandomState(13)
+    x = rng.randn(1, 2048).astype(np.float32)
+    layer = features.STFT(n_fft=n_fft, hop_length=n_fft, window="ones",
+                          center=False, output_format="Complex", verbose=False)
+    X = np.asarray(layer(x))[0]  # (F, T, 2), onesided
+    # onesided energy: double interior bins
+    w = np.full(X.shape[0], 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    spec_energy = (w[:, None] * (X ** 2).sum(-1)).sum() / n_fft
+    sig_energy = (x[0, : X.shape[1] * n_fft] ** 2).sum()
+    assert np.isclose(spec_energy, sig_energy, rtol=1e-4)
