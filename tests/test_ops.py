@@ -171,8 +171,9 @@ def test_pallas_synthesis_ola_interpreted():
                                                  highest=True)
     finally:
         framed_matmul._INTERPRET = False
-    frames = (jnp.einsum("fj,bft->btj", kc, sre)
-              - jnp.einsum("fj,bft->btj", ks, sim))
+    HI = jax.lax.Precision.HIGHEST
+    frames = (jnp.einsum("fj,bft->btj", kc, sre, precision=HI)
+              - jnp.einsum("fj,bft->btj", ks, sim, precision=HI))
     want = frames_to_signal(frames, hop, n_fft + hop * (T - 1))
     assert np.allclose(got, want, rtol=1e-4, atol=1e-5)
 
@@ -192,8 +193,9 @@ def test_synthesis_ola_custom_vjp():
         return jnp.sum(dispatch.synthesis_ola(sre, sim, kc, ks, hop) ** 2)
 
     def loss_ref(sre, sim, kc, ks):
-        frames = (jnp.einsum("fj,bft->btj", kc, sre)
-                  - jnp.einsum("fj,bft->btj", ks, sim))
+        HI = jax.lax.Precision.HIGHEST
+        frames = (jnp.einsum("fj,bft->btj", kc, sre, precision=HI)
+                  - jnp.einsum("fj,bft->btj", ks, sim, precision=HI))
         return jnp.sum(frames_to_signal(frames, hop, n_fft + hop * (T - 1)) ** 2)
 
     g1 = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(sre, sim, kc, ks)
@@ -220,9 +222,11 @@ def test_pallas_fused_filterbank_interpreted():
         framed_matmul._INTERPRET = False
     real, imag = dispatch._xla_pair(x, wcos, wsin, hop)
     power = real ** 2 + imag ** 2
-    want = jnp.einsum("gf,bft->bgt", fb, power)
+    want = jnp.einsum("gf,bft->bgt", fb, power,
+                      precision=jax.lax.Precision.HIGHEST)
     assert np.allclose(got, want, rtol=1e-4, atol=1e-3), np.abs(got-want).max()
-    want_eps = jnp.einsum("gf,bft->bgt", fb, power + 1e-8)
+    want_eps = jnp.einsum("gf,bft->bgt", fb, power + 1e-8,
+                          precision=jax.lax.Precision.HIGHEST)
     assert np.allclose(got_eps, want_eps, rtol=1e-4, atol=1e-3)
 
 
@@ -238,7 +242,8 @@ def test_framed_filterbank_custom_vjp():
 
     def loss_ref(x, wc, ws, f):
         r, i = dispatch._xla_pair(x, wc, ws, 16)
-        return jnp.sum(jnp.einsum("gf,bft->bgt", f, r * r + i * i + 1e-8) ** 2)
+        return jnp.sum(jnp.einsum("gf,bft->bgt", f, r * r + i * i + 1e-8,
+                                  precision=jax.lax.Precision.HIGHEST) ** 2)
 
     g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, wcos, wsin, fb)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, wcos, wsin, fb)
