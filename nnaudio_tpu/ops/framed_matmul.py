@@ -44,10 +44,10 @@ def _pick_tiles(n_fft: int, f: int, t_total: int, hop: int,
     t=256 — the 6-pass fp32 emulation needs more scratch and t=512 crashed
     the Mosaic compile helper."""
     n_chunks = n_fft // hop
-    # HIGHEST (6-pass fp32) prefers narrow frequency tiles (f128 measured 8%
-    # faster than f256 — better MXU pass pipelining); fast mode prefers wide
-    max_f = 128 if highest else 512
-    tile_f = min(max_f, -(-f // 128) * 128)
+    # f128 tiles win at both precisions: better MXU pass pipelining at
+    # HIGHEST (+8% vs f256) and minimal frequency-padding waste (1025 bins
+    # pad to 1152 instead of 1536)
+    tile_f = min(128, -(-f // 128) * 128)
     max_t = 256 if highest else 512
     tile_t = min(max_t, -(-t_total // 8) * 8)
     while tile_f >= 128:
