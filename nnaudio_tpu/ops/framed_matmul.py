@@ -46,10 +46,10 @@ def _pick_tiles(n_fft: int, f: int, t_total: int, hop: int,
     n_chunks = n_fft // hop
     # f128 tiles win at both precisions: better MXU pass pipelining at
     # HIGHEST (+8% vs f256) and minimal frequency-padding waste (1025 bins
-    # pad to 1152 instead of 1536)
+    # pad to 1152 instead of 1536). t512 halves basis re-streaming; with f128
+    # it compiles fine at HIGHEST too (the earlier Mosaic crash was t512+f256).
     tile_f = min(128, -(-f // 128) * 128)
-    max_t = 256 if highest else 512
-    tile_t = min(max_t, -(-t_total // 8) * 8)
+    tile_t = min(512, -(-t_total // 8) * 8)
     while tile_f >= 128:
         slab_rows = -(-(tile_t + n_chunks - 1) // 8) * 8
         slab = slab_rows * hop * 4
