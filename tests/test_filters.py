@@ -123,3 +123,17 @@ def test_compat_reference_names():
     assert F.nextpow2(513) == 9
     fir = F.create_lowpass_filter(0.5, kernelLength=256, transitionBandwidth=0.001)
     assert fir.shape == (256,)
+
+
+def test_spectrogram_compat_namespace():
+    """Deprecated reference import path works and warns (Spectrogram.py:1-8)."""
+    import importlib
+    import sys
+    import warnings as w
+
+    sys.modules.pop("nnaudio_tpu.Spectrogram", None)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        mod = importlib.import_module("nnaudio_tpu.Spectrogram")
+    assert any(issubclass(c.category, DeprecationWarning) for c in caught)
+    assert hasattr(mod, "STFT") and hasattr(mod, "CQT2010v2")
