@@ -34,15 +34,13 @@ _INTERPRET = False  # flipped by tests to exercise the kernel on CPU
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16MB/core VMEM
 
 
-def _pick_tiles(n_fft: int, f: int, t_total: int, hop: int,
-                highest: bool = True):
+def _pick_tiles(n_fft: int, f: int, t_total: int, hop: int):
     """Choose (tile_t, tile_f) so slab + 2 double-buffered basis blocks + two
     output blocks fit the VMEM budget. Returns None when impossible.
 
-    Fast mode uses taller time tiles (fewer basis re-streams from HBM:
-    measured ~86k vs ~81k audio-s/s at the headline config); HIGHEST keeps
-    t=256 — the 6-pass fp32 emulation needs more scratch and t=512 crashed
-    the Mosaic compile helper."""
+    Unified t512/f128 at both precisions: f128 wins +8% at HIGHEST and pads
+    1025 bins to 1152 instead of 1536; t512 halves basis re-streaming (the
+    earlier t512 Mosaic crash was specific to t512+f256)."""
     n_chunks = n_fft // hop
     # f128 tiles win at both precisions: better MXU pass pipelining at
     # HIGHEST (+8% vs f256) and minimal frequency-padding waste (1025 bins
@@ -272,7 +270,7 @@ def framed_magnitude_pallas(x, wcos, wsin, hop, highest: bool, eps: float = 0.0,
         return None
     n_fft = wcos.shape[-1]
     t_total = (x.shape[-1] - n_fft) // hop + 1
-    tiles = _pick_tiles(n_fft, wcos.shape[0], t_total, hop, highest)
+    tiles = _pick_tiles(n_fft, wcos.shape[0], t_total, hop)
     if tiles is None:
         return None
     tile_t, tile_f = tiles
@@ -399,7 +397,7 @@ def framed_filterbank_pallas(x, wcos, wsin, fb, hop, highest: bool,
         return None
     n_fft = wcos.shape[-1]
     t_total = (x.shape[-1] - n_fft) // hop + 1
-    tiles = _pick_tiles(n_fft, wcos.shape[0], t_total, hop, highest)
+    tiles = _pick_tiles(n_fft, wcos.shape[0], t_total, hop)
     if tiles is None:
         return None
     tile_t, tile_f = tiles

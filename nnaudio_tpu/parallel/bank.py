@@ -119,10 +119,14 @@ def contraction_sharded_cqt1992(transform, mesh: Mesh, axis: str = "model",
         from ..ops.dispatch import framed_basis_pair
 
         fr, fi = framed_basis_pair(x, wcos, wsin, hop)
-        part_re = (jnp.einsum("gf,bft->bgt", kr, fr, precision=prec)
-                   - jnp.einsum("gf,bft->bgt", ki, fi, precision=prec))
-        part_im = (jnp.einsum("gf,bft->bgt", kr, fi, precision=prec)
-                   + jnp.einsum("gf,bft->bgt", ki, fr, precision=prec))
+        part_re = (jnp.einsum("gf,bft->bgt", kr, fr, precision=prec,
+                              preferred_element_type=jnp.float32)
+                   - jnp.einsum("gf,bft->bgt", ki, fi, precision=prec,
+                                preferred_element_type=jnp.float32))
+        part_im = (jnp.einsum("gf,bft->bgt", kr, fi, precision=prec,
+                              preferred_element_type=jnp.float32)
+                   + jnp.einsum("gf,bft->bgt", ki, fr, precision=prec,
+                                preferred_element_type=jnp.float32))
         cqt_re = lax.psum(part_re, axis)   # reduce partial products over ICI
         cqt_im = lax.psum(part_im, axis)
         scale = jnp.sqrt(lengths)[None, :, None] / width

@@ -54,9 +54,18 @@ def pad_to_bucket(signals: Sequence[np.ndarray],
         buckets = default_buckets(sr=sr)
     lengths = np.array([np.shape(s)[-1] for s in signals])
     target = bucket_length(int(lengths.max()), buckets)
+    if lengths.max() > target:
+        import warnings
+
+        warnings.warn(
+            f"signal(s) of length up to {int(lengths.max())} exceed the "
+            f"largest bucket ({target}) and will be truncated",
+            stacklevel=2,
+        )
+        lengths = np.minimum(lengths, target)
     batch = np.zeros((len(signals), target), dtype=np.float32)
     for i, s in enumerate(signals):
-        batch[i, : lengths[i]] = np.asarray(s, dtype=np.float32)[..., :target]
+        batch[i, : lengths[i]] = np.asarray(s, dtype=np.float32)[..., :target][..., : lengths[i]]
     return jnp.asarray(batch), jnp.asarray(lengths)
 
 

@@ -22,7 +22,9 @@ def save_params(path: str, params: Mapping[str, jax.Array]) -> None:
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(path), dict(params))
+        # force=True: overwrite an existing checkpoint directory (orbax
+        # refuses by default, breaking repeated saves to the same path)
+        ckptr.save(os.path.abspath(path), dict(params), force=True)
 
 
 def load_params(path: str) -> dict:
