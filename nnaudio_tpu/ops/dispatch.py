@@ -3,19 +3,23 @@
 Implementations, all computing ``Y[b,f,t] = sum_s x[b, t*hop+s] * W[f,s]``
 for the cos/sin bases:
 
-- **Hop-decomposition einsum** (default everywhere): view x as (rows, hop)
-  and accumulate ``n_fft/hop`` chunked matmuls — no frame materialization,
-  minimal HBM traffic. Honest v5e measurements at n_fft=2048/hop=512 with the
-  full output consumed (beware: benchmarks whose only consumer is one output
-  element get silently DCE-shrunk by XLA): hopdec 17.7 TFLOP/s fp32-HIGHEST /
-  30.7 fast-mode, gather+matmul 12.9/20.4, `conv_general_dilated` 3.3/7.4
-  (TPU conv+consumer fusion is pathologically slow and ignores
-  optimization_barrier), Pallas fused kernel 13.7 @ HIGHEST.
+- **Hop-decomposition einsum** (default for the separate real/imag pair):
+  view x as (rows, hop) and accumulate ``n_fft/hop`` chunked matmuls — no
+  frame materialization, minimal HBM traffic. Honest v5e measurements at
+  n_fft=2048/hop=512 with the full output consumed (beware: benchmarks whose
+  only consumer is one output element get silently DCE-shrunk by XLA):
+  hopdec 16.4 TFLOP/s fp32-HIGHEST / 33.2 fast-mode, gather+matmul
+  12.9/20.4, `conv_general_dilated` 3.3/7.4 (TPU conv+consumer fusion is
+  pathologically slow and ignores optimization_barrier). The round-2 Pallas
+  pair kernel with transposed stores reaches ~31-33 fast / 14 HIGHEST —
+  parity at best, so XLA keeps the pair; Pallas wins only with a fused
+  epilogue (magnitude 34.4 fast / 16.4 HIGHEST, see framed_matmul.py).
 - **Gather einsum** fallback when hop doesn't divide n_fft or the chunk count
   exceeds 32 (deep CQT-pyramid octaves with tiny hops, where the unrolled
   chunk graph compiles slower than the gather runs).
-- **Pallas fused kernel** (opt-in via ``set_use_pallas(True)``): manual
-  slab-DMA frame+matmul — kept as the base for future fused-epilogue work.
+- **Pallas fused kernels** (default on TPU): frame-block scratch + matmul
+  with magnitude/power/filterbank epilogues fused in VMEM
+  (ops/framed_matmul.py).
 
 The op carries a custom VJP so trainable bases differentiate identically
 through every backend (frame-weighted outer products for dW, overlap

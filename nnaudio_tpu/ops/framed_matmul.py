@@ -1,22 +1,38 @@
-"""Fused frame+matmul Pallas TPU kernel (STFT hot path).
+"""Fused frame+matmul Pallas TPU kernels (STFT hot path).
 
 Computes ``Y[b, f, t] = sum_s x[b, t*hop + s] * W[f, s]`` for the cos and sin
 bases in one pass, without materializing the ``(B, T, n_fft)`` frame tensor in
 HBM (both the XLA gather path and the hop-decomposition path re-read every
 sample ``n_fft/hop`` times — 4x HBM read traffic at the default hop).
 
-Strategy (hop-decomposition): view the signal as ``(rows, hop)``; frame ``t``
-is rows ``t .. t + n_fft/hop - 1`` concatenated. Grid is
-``(batch, time_tiles, freq_tiles)`` with the frequency axis innermost:
+Strategy (generalized hop decomposition): pick a row width
+``w = lcm(hop, 128)`` (the 128-lane DMA alignment unit) and view the signal
+as overlapping rows ``row[r] = x[r*hop : r*hop + w]``; frame ``t``'s chunk
+``c`` (of ``ceil(n_fft/w)`` chunks, the basis zero-padded to ``n_chunks*w``
+columns) is row ``t + c*q`` where ``q = w//hop``. When ``hop % 128 == 0``
+the rows don't overlap and the repack is a free reshape; otherwise an
+O(q·L) strided copy extends the fused envelope to speech hops (160/320) and
+CQT-pyramid lower octaves (256/128/64/32). Grid is
+``(batch_blocks, time_tiles, freq_tiles)`` with the frequency axis innermost:
 
-- the ``(tile_t + n_fft/hop - 1, hop)`` signal slab covering a time tile is
-  DMA'd manually from HBM into persistent VMEM scratch **once per time tile**
-  (slabs of neighbouring tiles overlap, which BlockSpec block indexing cannot
-  express) and reused across all frequency tiles;
-- the transposed bases stream through BlockSpec-managed ``(n_fft, tile_f)``
-  VMEM blocks (auto double-buffered by the pipeline);
-- each step accumulates ``n_chunks`` MXU matmuls, one per hop-row shift — no
-  frame matrix is ever formed, in VMEM or HBM.
+- the ``(bb, slab_rows, w)`` signal slab covering ``bb`` batch items' time
+  tile is DMA'd manually from HBM into persistent VMEM scratch **once per
+  (batch-block, time tile)** (slabs of neighbouring tiles overlap, which
+  BlockSpec block indexing cannot express) and reused across all frequency
+  tiles;
+- the transposed bases stream through BlockSpec-managed
+  ``(n_chunks*w, tile_f)`` VMEM blocks (auto double-buffered by the
+  pipeline); batch-blocking amortizes that stream over ``bb`` items' compute
+  — the round-1 kernel re-streamed both bases once per *single-item* time
+  tile, which capped fast mode at ~44% of this chip's measured matmul peak;
+- each step accumulates ``bb x n_chunks`` MXU matmuls — no frame matrix is
+  ever formed, in VMEM or HBM;
+- fast (bf16) mode stores slab and bases in bf16: the MXU's DEFAULT
+  precision rounds fp32 operands to bf16 anyway, so this halves HBM/VMEM
+  traffic at identical numerics;
+- outputs are written transposed (``(tile_f, tile_t)`` blocks) so the kernel
+  emits the API's (B, F, T) layout directly — no post-kernel transpose pass
+  over the full spectrogram.
 
 The supported() gate keeps every resident buffer within the VMEM budget;
 outside the envelope the dispatcher falls back to the XLA hop-decomposition
@@ -25,6 +41,7 @@ path (ops/dispatch.py).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -32,415 +49,405 @@ import jax.numpy as jnp
 _INTERPRET = False  # flipped by tests to exercise the kernel on CPU
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16MB/core VMEM
+# HIGHEST needs a tighter plan budget: the fp32-emulation passes allocate
+# scoped stack temporaries (~6MB at tile_t=432) the bill below can't see
+# (measured: pair@tile_t=432 needs 16.2MB scoped vs a 10.4MB bill).
+_VMEM_BUDGET_HIGHEST = 10 * 1024 * 1024
 
 
-def _pick_tiles(n_fft: int, f: int, t_total: int, hop: int):
-    """Choose (tile_t, tile_f) so slab + 2 double-buffered basis blocks + two
-    output blocks fit the VMEM budget. Returns None when impossible.
+def _plan(b, n_fft, f, t_total, hop, highest, n_out=1, n_mels=0):
+    """Choose (w, q, n_chunks, tile_t, tile_f, bb, slab_rows) so every
+    resident buffer fits the VMEM budget. Returns None when impossible.
 
-    Unified t512/f128 at both precisions: f128 wins +8% at HIGHEST and pads
-    1025 bins to 1152 instead of 1536; t512 halves basis re-streaming (the
-    earlier t512 Mosaic crash was specific to t512+f256)."""
-    n_chunks = n_fft // hop
-    # f128 tiles win at both precisions: better MXU pass pipelining at
-    # HIGHEST (+8% vs f256) and minimal frequency-padding waste (1025 bins
-    # pad to 1152 instead of 1536). t512 halves basis re-streaming; with f128
-    # it compiles fine at HIGHEST too (the earlier Mosaic crash was t512+f256).
+    f128 tiles win at both precisions (+8% at HIGHEST vs f256, minimal
+    padding waste: 1025 bins pad to 1152 not 1536); t512 with the largest
+    batch block bb that fits minimizes basis re-streaming."""
+    if hop <= 0:
+        return None
+    w = hop * 128 // math.gcd(hop, 128)
+    q = w // hop
+    if q > 8:  # lcm blowup (odd/unaligned hops): repack cost outweighs fusion
+        return None
+    n_chunks = -(-n_fft // w)
     tile_f = min(128, -(-f // 128) * 128)
-    tile_t = min(512, -(-t_total // 8) * 8)
-    while tile_f >= 128:
-        slab_rows = -(-(tile_t + n_chunks - 1) // 8) * 8
-        slab = slab_rows * hop * 4
-        bases = 2 * 2 * n_fft * tile_f * 4  # two bases, double buffered
-        outs = 2 * 2 * tile_t * tile_f * 4
-        if slab + bases + outs <= _VMEM_BUDGET:
-            return tile_t, tile_f
-        tile_f //= 2
+    ebytes = 4 if highest else 2
+    mpad = n_mels + (-n_mels % 128) if n_mels else 0
+    for tile_t in (512, 256, 128):
+        tile_t = min(tile_t, -(-t_total // 8) * 8)
+        for bb in (8, 4, 2, 1):
+            if b % bb:
+                continue
+            if bb * n_chunks > 64:  # unrolled-dot compile blowup guard
+                continue
+            slab_rows = -(-(tile_t + (n_chunks - 1) * q) // 8) * 8
+            slab = bb * slab_rows * w * ebytes
+            frame = bb * tile_t * (n_chunks * w) * ebytes
+            bases = 2 * 2 * (n_chunks * w) * tile_f * ebytes
+            outs = 2 * n_out * bb * tile_t * tile_f * 4
+            extra = 0
+            if n_mels:
+                # fb blocks (double-buffered) + resident acc scratch + out
+                extra = (2 * tile_f * mpad * ebytes
+                         + 2 * bb * tile_t * mpad * 4)
+                outs = 0  # the fb output replaces the pair outputs
+            budget = _VMEM_BUDGET_HIGHEST if highest else _VMEM_BUDGET
+            if highest and n_out == 2:
+                # the second output adds ~1MB of store/transpose stack the
+                # bill can't see (measured 16.2MB scoped vs 10.4MB billed)
+                budget -= 1024 * 1024
+            if slab + frame + bases + outs + extra <= budget:
+                return dict(w=w, q=q, n_chunks=n_chunks, tile_t=tile_t,
+                            tile_f=tile_f, bb=bb, slab_rows=slab_rows)
     return None
 
 
-def _fused_kernel(x_hbm, wcos_ref, wsin_ref, real_ref, imag_ref, slab, sem,
-                  *, hop, n_fft, tile_t):
-    from jax.experimental import pallas as pl
+def _repack(x, hop, w, rows):
+    """(B, L) signal -> (B, rows, w) row view, row r = x[r*hop : r*hop+w].
 
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    k = pl.program_id(2)
-    n_chunks = n_fft // hop
-    rows = slab.shape[0]
-
-    # one slab DMA per (batch, time-tile); freq tiles (innermost) reuse it
-    @pl.when(k == 0)
-    def _load_slab():
-        from jax.experimental.pallas import tpu as pltpu
-
-        dma = pltpu.make_async_copy(
-            x_hbm.at[i, pl.ds(j * tile_t, rows), :], slab, sem
-        )
-        dma.start()
-        dma.wait()
-
-    # frame t = concat(slab[t+c, :] for c in range(n_chunks)); accumulate the
-    # matmul chunk by chunk instead of materializing the frame matrix
-    real_acc = jnp.zeros((tile_t, wcos_ref.shape[1]), jnp.float32)
-    imag_acc = jnp.zeros((tile_t, wsin_ref.shape[1]), jnp.float32)
-    for c in range(n_chunks):
-        chunk = slab[c : c + tile_t, :]
-        real_acc = real_acc + jnp.dot(
-            chunk, wcos_ref[c * hop : (c + 1) * hop, :],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        imag_acc = imag_acc + jnp.dot(
-            chunk, wsin_ref[c * hop : (c + 1) * hop, :],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    real_ref[0, :, :] = real_acc
-    imag_ref[0, :, :] = imag_acc
-
-
-@functools.partial(jax.jit, static_argnames=("hop", "tile_t", "tile_f"))
-def _framed_matmul_pair(x, wcos_t, wsin_t, hop, tile_t, tile_f):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+    w == hop (hop % 128 == 0): a free reshape. Otherwise rows overlap by
+    w - hop samples; built from q = w//hop phase-strided reshapes + one
+    interleaving copy (O(q*L) HBM traffic — still tiny next to the matmul)."""
     b, length = x.shape
-    n_fft, f = wcos_t.shape
-    n_chunks = n_fft // hop
-    t_total = (length - n_fft) // hop + 1
-
-    t_pad = -t_total % tile_t
-    n_t_tiles = (t_total + t_pad) // tile_t
-    f_pad = -f % tile_f
-    n_f_tiles = (f + f_pad) // tile_f
-    if f_pad:
-        wcos_t = jnp.pad(wcos_t, ((0, 0), (0, f_pad)))
-        wsin_t = jnp.pad(wsin_t, ((0, 0), (0, f_pad)))
-    f_padded = f + f_pad
-
-    slab_rows = -(-(tile_t + n_chunks - 1) // 8) * 8
-    rows_needed = (n_t_tiles - 1) * tile_t + slab_rows
-    need = rows_needed * hop
+    q = w // hop
+    if q == 1:
+        need = rows * w
+        if need > length:
+            x = jnp.pad(x, ((0, 0), (0, need - length)))
+        return x[:, :need].reshape(b, rows, w)
+    m = -(-rows // q)
+    need = (q - 1) * hop + m * w
     if need > length:
         x = jnp.pad(x, ((0, 0), (0, need - length)))
-    x2 = x[:, :need].reshape(b, rows_needed, hop)
-
-    kern = functools.partial(_fused_kernel, hop=hop, n_fft=n_fft, tile_t=tile_t)
-    real, imag = pl.pallas_call(
-        kern,
-        grid=(b, n_t_tiles, n_f_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tile_t, tile_f), lambda i, j, k: (i, j, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, tile_f), lambda i, j, k: (i, j, k),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_t_tiles * tile_t, f_padded), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_t_tiles * tile_t, f_padded), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((slab_rows, hop), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * t_total * f * n_fft,
-            bytes_accessed=(b * need + 2 * n_fft * f_padded * n_f_tiles
-                            + 2 * b * t_total * f) * 4,
-            transcendentals=0,
-        ),
-        interpret=_INTERPRET,
-    )(x2, wcos_t, wsin_t)
-    real = jnp.swapaxes(real[:, :t_total, :f], 1, 2)
-    imag = jnp.swapaxes(imag[:, :t_total, :f], 1, 2)
-    return real, imag
+    x = x[:, :need]
+    parts = [
+        jax.lax.dynamic_slice_in_dim(x, p * hop, m * w, 1).reshape(b, m, w)
+        for p in range(q)
+    ]
+    return jnp.stack(parts, axis=2).reshape(b, m * q, w)[:, :rows]
 
 
-def _fused_magnitude_kernel(
-    x_hbm, wcos_ref, wsin_ref, out_ref, slab, sem, *, hop, n_fft, tile_t,
-    prec, eps, square
-):
-    """Frame+matmul+magnitude in one pass: the (B, F, T) real/imag pair never
-    leaves VMEM — saves their HBM round-trip plus a separate elementwise
-    kernel (~30% of the STFT magnitude wall time at the headline config)."""
+def _build_frames(x_hbm, slab, frame, sem, i, j, *, bb, tile_t, w, q,
+                  n_chunks):
+    """Once per (batch-block, time tile): DMA the aligned row slab from HBM,
+    then assemble the (bb, tile_t, n_chunks*w) frame block in VMEM. The
+    sublane-misaligned chunk shifts (offsets c*q) happen HERE, once — the
+    round-1 kernel re-sliced the slab inside every frequency step, and those
+    VPU shift passes (not the MXU) were the throughput cap."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    k = pl.program_id(2)
-    n_chunks = n_fft // hop
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * bb, bb), pl.ds(j * tile_t, slab.shape[1]), :],
+        slab, sem,
+    )
+    dma.start()
+    dma.wait()
+    for u in range(bb):
+        for c in range(n_chunks):
+            frame[u, :, c * w : (c + 1) * w] = slab[u, c * q : c * q + tile_t, :]
 
-    @pl.when(k == 0)
-    def _load_slab():
-        dma = pltpu.make_async_copy(
-            x_hbm.at[i, pl.ds(j * tile_t, slab.shape[0]), :], slab, sem
-        )
-        dma.start()
-        dma.wait()
 
+def _frame_dots(frame, wcos_ref, wsin_ref, u, *, w, n_chunks, tile_t, prec):
+    """(tile_t, tile_f) real/imag projections of frame block u.
+
+    bf16 fast mode: one whole-K dot per basis (measured fastest: 34 vs 32
+    TFLOP/s chunked). HIGHEST: K split at chunk (w) granularity — the frame
+    slices are lane-aligned (offsets are multiples of w >= 128) so the split
+    costs no VPU shifts, and it bounds the fp32-emulation stack temporaries
+    a single K=n_chunks*w dot allocates (observed 22MB scoped-vmem OOM)."""
+    if prec != jax.lax.Precision.HIGHEST:
+        real = jnp.dot(frame[u], wcos_ref[...],
+                       preferred_element_type=jnp.float32, precision=prec)
+        imag = jnp.dot(frame[u], wsin_ref[...],
+                       preferred_element_type=jnp.float32, precision=prec)
+        return real, imag
     real = jnp.zeros((tile_t, wcos_ref.shape[1]), jnp.float32)
     imag = jnp.zeros((tile_t, wsin_ref.shape[1]), jnp.float32)
     for c in range(n_chunks):
-        chunk = slab[c : c + tile_t, :]
-        real = real + jnp.dot(chunk, wcos_ref[c * hop : (c + 1) * hop, :],
-                              preferred_element_type=jnp.float32, precision=prec)
-        imag = imag + jnp.dot(chunk, wsin_ref[c * hop : (c + 1) * hop, :],
-                              preferred_element_type=jnp.float32, precision=prec)
-    power = real * real + imag * imag
-    if eps:
-        power = power + eps
-    out_ref[0, :, :] = power if square else jnp.sqrt(power)
+        chunk = frame[u, :, c * w : (c + 1) * w]
+        real = real + jnp.dot(chunk, wcos_ref[c * w : (c + 1) * w, :],
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+        imag = imag + jnp.dot(chunk, wsin_ref[c * w : (c + 1) * w, :],
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+    return real, imag
+
+
+def _pair_kernel(x_hbm, wcos_ref, wsin_ref, real_ref, imag_ref, slab, frame,
+                 sem, *, w, q, n_chunks, tile_t, bb, prec):
+    from jax.experimental import pallas as pl
+
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _load():
+        _build_frames(x_hbm, slab, frame, sem, i, j, bb=bb, tile_t=tile_t,
+                      w=w, q=q, n_chunks=n_chunks)
+
+    for u in range(bb):
+        real, imag = _frame_dots(frame, wcos_ref, wsin_ref, u, w=w,
+                                 n_chunks=n_chunks, tile_t=tile_t, prec=prec)
+        real_ref[u, :, :] = real.T
+        imag_ref[u, :, :] = imag.T
+
+
+def _magnitude_kernel(x_hbm, wcos_ref, wsin_ref, out_ref, slab, frame, sem,
+                      *, w, q, n_chunks, tile_t, bb, prec, eps, square):
+    """Frame+matmul+magnitude in one pass: the (B, F, T) real/imag pair never
+    leaves HBM — saves its round-trip plus a separate elementwise kernel
+    (~30% of the STFT magnitude wall time at the headline config)."""
+    from jax.experimental import pallas as pl
+
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _load():
+        _build_frames(x_hbm, slab, frame, sem, i, j, bb=bb, tile_t=tile_t,
+                      w=w, q=q, n_chunks=n_chunks)
+
+    for u in range(bb):
+        real, imag = _frame_dots(frame, wcos_ref, wsin_ref, u, w=w,
+                                 n_chunks=n_chunks, tile_t=tile_t, prec=prec)
+        power = real * real + imag * imag
+        if eps:
+            power = power + eps
+        out_ref[u, :, :] = (power if square else jnp.sqrt(power)).T
+
+
+def _filterbank_kernel(x_hbm, wcos_ref, wsin_ref, fb_ref, out_ref, slab,
+                       frame, acc, sem, *, w, q, n_chunks, tile_t, bb, prec,
+                       eps):
+    """Frame+matmul+power+filterbank in one pass: MelSpectrogram (or any
+    ``fb @ |STFT|^2`` composite) without the (B, F, T) spectrogram ever
+    existing. The accumulator scratch is resident over the frequency grid
+    axis, accumulating ``P_tile @ fb_tile`` across frequency tiles; the last
+    tile stores the (B, n_mels, T)-layout result."""
+    from jax.experimental import pallas as pl
+
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    n_f_tiles = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _load():
+        _build_frames(x_hbm, slab, frame, sem, i, j, bb=bb, tile_t=tile_t,
+                      w=w, q=q, n_chunks=n_chunks)
+        acc[...] = jnp.zeros_like(acc)
+
+    for u in range(bb):
+        real, imag = _frame_dots(frame, wcos_ref, wsin_ref, u, w=w,
+                                 n_chunks=n_chunks, tile_t=tile_t, prec=prec)
+        power = real * real + imag * imag
+        if eps:
+            power = power + eps
+        acc[u, :, :] += jnp.dot(power, fb_ref[:, :],
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+
+    @pl.when(k == n_f_tiles - 1)
+    def _store():
+        for u in range(bb):
+            out_ref[u, :, :] = acc[u, :, :].T
+
+
+def _prep(x, wcos_t, wsin_t, hop, plan, highest):
+    """Shared host-side packing: repack the signal into the (rows, w) view,
+    pad the basis rows to n_chunks*w and columns to tile_f, pick dtypes."""
+    b, length = x.shape
+    n_fft, f = wcos_t.shape
+    w, q, n_chunks = plan["w"], plan["q"], plan["n_chunks"]
+    tile_t, tile_f = plan["tile_t"], plan["tile_f"]
+
+    t_total = (length - n_fft) // hop + 1
+    n_t_tiles = -(-t_total // tile_t)
+    f_pad = -f % tile_f
+    row_pad = n_chunks * w - n_fft
+    if f_pad or row_pad:
+        wcos_t = jnp.pad(wcos_t, ((0, row_pad), (0, f_pad)))
+        wsin_t = jnp.pad(wsin_t, ((0, row_pad), (0, f_pad)))
+    rows = (n_t_tiles - 1) * tile_t + plan["slab_rows"]
+    x2 = _repack(x, hop, w, rows)
+    dtype = jnp.float32 if highest else jnp.bfloat16
+    return (x2.astype(dtype), wcos_t.astype(dtype), wsin_t.astype(dtype),
+            t_total, n_t_tiles, f + f_pad)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hop", "tile_t", "tile_f", "highest", "eps", "square"),
+    static_argnames=("hop", "w", "q", "n_chunks", "tile_t", "tile_f", "bb",
+                     "slab_rows", "highest", "eps", "square", "pair"),
 )
-def _framed_magnitude(x, wcos_t, wsin_t, hop, tile_t, tile_f, highest, eps,
-                      square=False):
+def _framed_analysis(x, wcos_t, wsin_t, hop, w, q, n_chunks, tile_t, tile_f,
+                     bb, slab_rows, highest, eps=0.0, square=False,
+                     pair=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, length = x.shape
-    n_fft, f = wcos_t.shape
-    n_chunks = n_fft // hop
-    t_total = (length - n_fft) // hop + 1
+    plan = dict(w=w, q=q, n_chunks=n_chunks, tile_t=tile_t, tile_f=tile_f,
+                bb=bb, slab_rows=slab_rows)
+    x2, wc, ws, t_total, n_t_tiles, f_padded = _prep(
+        x, wcos_t, wsin_t, hop, plan, highest)
+    b = x2.shape[0]
+    f = wcos_t.shape[1]
+    prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
 
-    n_t_tiles = -(-t_total // tile_t)
-    f_pad = -f % tile_f
-    if f_pad:
-        wcos_t = jnp.pad(wcos_t, ((0, 0), (0, f_pad)))
-        wsin_t = jnp.pad(wsin_t, ((0, 0), (0, f_pad)))
-    f_padded = f + f_pad
-
-    slab_rows = -(-(tile_t + n_chunks - 1) // 8) * 8
-    need = ((n_t_tiles - 1) * tile_t + slab_rows) * hop
-    if need > length:
-        x = jnp.pad(x, ((0, 0), (0, need - length)))
-    x2 = x[:, :need].reshape(b, -1, hop)
-
-    prec = (jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT)
-    kern = functools.partial(
-        _fused_magnitude_kernel, hop=hop, n_fft=n_fft, tile_t=tile_t,
-        prec=prec, eps=eps, square=square,
+    common = dict(w=w, q=q, n_chunks=n_chunks, tile_t=tile_t, bb=bb,
+                  prec=prec)
+    basis_spec = pl.BlockSpec((n_chunks * w, tile_f), lambda i, j, k: (0, k),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bb, tile_f, tile_t), lambda i, j, k: (i, k, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, f_padded, n_t_tiles * tile_t),
+                                     jnp.float32)
+    flops = 2 * 2 * b * t_total * f * (n_chunks * w)
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=(x2.size + 2 * n_chunks * w * f_padded * (b // bb)
+                        + (2 if pair else 1) * b * t_total * f)
+        * (4 if highest else 2),
+        transcendentals=0 if pair else b * t_total * f,
     )
+    if pair:
+        kern = functools.partial(_pair_kernel, **common)
+        outs = [out_shape, out_shape]
+        out_specs = [out_spec, out_spec]
+    else:
+        kern = functools.partial(_magnitude_kernel, eps=eps, square=square,
+                                 **common)
+        outs = out_shape
+        out_specs = out_spec
+    res = pl.pallas_call(
+        kern,
+        grid=(b // bb, n_t_tiles, f_padded // tile_f),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), basis_spec, basis_spec],
+        out_specs=out_specs,
+        out_shape=outs,
+        scratch_shapes=[
+            pltpu.VMEM((bb, slab_rows, w), x2.dtype),
+            pltpu.VMEM((bb, tile_t, n_chunks * w), x2.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=cost,
+        interpret=_INTERPRET,
+    )(x2, wc, ws)
+    if pair:
+        return res[0][:, :f, :t_total], res[1][:, :f, :t_total]
+    return res[:, :f, :t_total]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop", "w", "q", "n_chunks", "tile_t", "tile_f", "bb",
+                     "slab_rows", "highest", "eps"),
+)
+def _framed_filterbank(x, wcos_t, wsin_t, fb_t, hop, w, q, n_chunks, tile_t,
+                       tile_f, bb, slab_rows, highest, eps=0.0):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    plan = dict(w=w, q=q, n_chunks=n_chunks, tile_t=tile_t, tile_f=tile_f,
+                bb=bb, slab_rows=slab_rows)
+    x2, wc, ws, t_total, n_t_tiles, f_padded = _prep(
+        x, wcos_t, wsin_t, hop, plan, highest)
+    b = x2.shape[0]
+    f = wcos_t.shape[1]
+    n_mels = fb_t.shape[1]
+    prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
+
+    f_pad = f_padded - f
+    m_pad = -n_mels % 128
+    if f_pad or m_pad:
+        fb_t = jnp.pad(fb_t, ((0, f_pad), (0, m_pad)))
+    m_padded = n_mels + m_pad
+    fb_t = fb_t.astype(x2.dtype)
+
+    kern = functools.partial(_filterbank_kernel, w=w, q=q, n_chunks=n_chunks,
+                             tile_t=tile_t, bb=bb, prec=prec, eps=eps)
     out = pl.pallas_call(
         kern,
-        grid=(b, n_t_tiles, f_padded // tile_f),
+        grid=(b // bb, n_t_tiles, f_padded // tile_f),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
+            pl.BlockSpec((n_chunks * w, tile_f), lambda i, j, k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
+            pl.BlockSpec((n_chunks * w, tile_f), lambda i, j, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_f, m_padded), lambda i, j, k: (k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_t, tile_f), lambda i, j, k: (i, j, k),
+        out_specs=pl.BlockSpec((bb, m_padded, tile_t),
+                               lambda i, j, k: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_t_tiles * tile_t, f_padded),
+        out_shape=jax.ShapeDtypeStruct((b, m_padded, n_t_tiles * tile_t),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((slab_rows, hop), jnp.float32),
+            pltpu.VMEM((bb, slab_rows, w), x2.dtype),
+            pltpu.VMEM((bb, tile_t, n_chunks * w), x2.dtype),
+            pltpu.VMEM((bb, tile_t, m_padded), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * t_total * f * n_fft,
-            bytes_accessed=(b * need + 2 * n_fft * f_padded
-                            + b * t_total * f) * 4,
-            transcendentals=b * t_total * f,
+            flops=2 * b * t_total * (n_chunks * w) * (2 * f + n_mels),
+            bytes_accessed=(x2.size + 2 * n_chunks * w * f_padded * (b // bb)
+                            + b * t_total * n_mels) * (4 if highest else 2),
+            transcendentals=0,
         ),
         interpret=_INTERPRET,
-    )(x2, wcos_t, wsin_t)
-    return jnp.swapaxes(out[:, :t_total, :f], 1, 2)
+    )(x2, wc, ws, fb_t)
+    return out[:, :n_mels, :t_total]
+
+
+def _get_plan(x, wcos, hop, highest, n_out=1, n_mels=0):
+    n_fft = wcos.shape[-1]
+    length = x.shape[-1]
+    if not (x.dtype == jnp.float32 and x.ndim == 2 and hop > 0
+            and length >= n_fft):
+        return None
+    t_total = (length - n_fft) // hop + 1
+    return _plan(x.shape[0], n_fft, wcos.shape[0], t_total, hop, highest,
+                 n_out=n_out, n_mels=n_mels)
+
+
+def framed_matmul_pair_supported(x, wcos, hop, highest: bool = True) -> bool:
+    return _get_plan(x, wcos, hop, highest, n_out=2) is not None
+
+
+def framed_matmul_pair_pallas(x, wcos, wsin, hop, highest: bool = True):
+    """Fused pair matmul -> ((B,F,T) real, (B,F,T) un-negated sin projection);
+    returns None to signal XLA fallback outside the supported envelope."""
+    plan = _get_plan(x, wcos, hop, highest, n_out=2)
+    if plan is None:
+        return None
+    wcos_t = jnp.asarray(wcos, jnp.float32).T
+    wsin_t = jnp.asarray(wsin, jnp.float32).T
+    return _framed_analysis(x, wcos_t, wsin_t, hop, highest=highest,
+                            pair=True, **plan)
 
 
 def framed_magnitude_pallas(x, wcos, wsin, hop, highest: bool, eps: float = 0.0,
                             square: bool = False):
     """Fused |STFT| (or |STFT|^2 when ``square``); returns None when outside
     the supported envelope."""
-    if not framed_matmul_pair_supported(x, wcos, hop):
+    plan = _get_plan(x, wcos, hop, highest)
+    if plan is None:
         return None
-    n_fft = wcos.shape[-1]
-    t_total = (x.shape[-1] - n_fft) // hop + 1
-    tiles = _pick_tiles(n_fft, wcos.shape[0], t_total, hop)
-    if tiles is None:
-        return None
-    tile_t, tile_f = tiles
     wcos_t = jnp.asarray(wcos, jnp.float32).T
     wsin_t = jnp.asarray(wsin, jnp.float32).T
-    return _framed_magnitude(x, wcos_t, wsin_t, hop, tile_t, tile_f,
-                             highest, eps, square)
-
-
-def _fused_filterbank_kernel(
-    x_hbm, wcos_ref, wsin_ref, fb_ref, out_ref, slab, sem,
-    *, hop, n_fft, tile_t, prec, eps
-):
-    """Frame+matmul+power+filterbank in one pass: MelSpectrogram (or any
-    ``fb @ (|STFT|^2)`` composite) without the (B, F, T) spectrogram ever
-    existing. The output block's index map is constant over the frequency
-    grid axis, so it stays resident in VMEM and accumulates
-    ``P_tile @ fb_tile`` across frequency tiles."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    k = pl.program_id(2)
-    n_chunks = n_fft // hop
-
-    @pl.when(k == 0)
-    def _load_slab():
-        dma = pltpu.make_async_copy(
-            x_hbm.at[i, pl.ds(j * tile_t, slab.shape[0]), :], slab, sem
-        )
-        dma.start()
-        dma.wait()
-        out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
-
-    real = jnp.zeros((tile_t, wcos_ref.shape[1]), jnp.float32)
-    imag = jnp.zeros((tile_t, wsin_ref.shape[1]), jnp.float32)
-    for c in range(n_chunks):
-        chunk = slab[c : c + tile_t, :]
-        real = real + jnp.dot(chunk, wcos_ref[c * hop : (c + 1) * hop, :],
-                              preferred_element_type=jnp.float32, precision=prec)
-        imag = imag + jnp.dot(chunk, wsin_ref[c * hop : (c + 1) * hop, :],
-                              preferred_element_type=jnp.float32, precision=prec)
-    power = real * real + imag * imag
-    if eps:
-        power = power + eps
-    out_ref[0, :, :] += jnp.dot(power, fb_ref[:, :],
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("hop", "tile_t", "tile_f", "highest", "eps")
-)
-def _framed_filterbank(x, wcos_t, wsin_t, fb_t, hop, tile_t, tile_f, highest,
-                       eps):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, length = x.shape
-    n_fft, f = wcos_t.shape
-    n_mels = fb_t.shape[1]
-    n_chunks = n_fft // hop
-    t_total = (length - n_fft) // hop + 1
-
-    n_t_tiles = -(-t_total // tile_t)
-    f_pad = -f % tile_f
-    if f_pad:
-        wcos_t = jnp.pad(wcos_t, ((0, 0), (0, f_pad)))
-        wsin_t = jnp.pad(wsin_t, ((0, 0), (0, f_pad)))
-        fb_t = jnp.pad(fb_t, ((0, f_pad), (0, 0)))
-    f_padded = f + f_pad
-    m_pad = -n_mels % 128
-    if m_pad:
-        fb_t = jnp.pad(fb_t, ((0, 0), (0, m_pad)))
-    m_padded = n_mels + m_pad
-
-    slab_rows = -(-(tile_t + n_chunks - 1) // 8) * 8
-    need = ((n_t_tiles - 1) * tile_t + slab_rows) * hop
-    if need > length:
-        x = jnp.pad(x, ((0, 0), (0, need - length)))
-    x2 = x[:, :need].reshape(b, -1, hop)
-
-    prec = (jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT)
-    kern = functools.partial(
-        _fused_filterbank_kernel, hop=hop, n_fft=n_fft, tile_t=tile_t,
-        prec=prec, eps=eps,
-    )
-    out = pl.pallas_call(
-        kern,
-        grid=(b, n_t_tiles, f_padded // tile_f),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, tile_f), lambda i, j, k: (0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_f, m_padded), lambda i, j, k: (k, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_t, m_padded), lambda i, j, k: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_t_tiles * tile_t, m_padded),
-                                       jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((slab_rows, hop), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * t_total * n_fft * (2 * f + n_mels),
-            bytes_accessed=(b * need + 2 * n_fft * f_padded
-                            + b * t_total * n_mels) * 4,
-            transcendentals=0,
-        ),
-        interpret=_INTERPRET,
-    )(x2, wcos_t, wsin_t, fb_t)
-    return jnp.swapaxes(out[:, :t_total, :n_mels], 1, 2)
+    return _framed_analysis(x, wcos_t, wsin_t, hop, highest=highest, eps=eps,
+                            square=square, **plan)
 
 
 def framed_filterbank_pallas(x, wcos, wsin, fb, hop, highest: bool,
                              eps: float = 0.0):
     """Fused ``fb @ |STFT|^2``; returns None outside the supported envelope."""
-    if not framed_matmul_pair_supported(x, wcos, hop):
-        return None
-    n_fft = wcos.shape[-1]
-    t_total = (x.shape[-1] - n_fft) // hop + 1
-    tiles = _pick_tiles(n_fft, wcos.shape[0], t_total, hop)
-    if tiles is None:
-        return None
-    tile_t, tile_f = tiles
-    n_mels = fb.shape[0]
-    # the filterbank block and resident output add to the VMEM bill
-    m_padded = n_mels + (-n_mels % 128)
-    extra = (tile_f * m_padded * 2 + tile_t * m_padded * 2) * 4
-    if extra > 2 * 1024 * 1024:
+    plan = _get_plan(x, wcos, hop, highest, n_mels=fb.shape[0])
+    if plan is None:
         return None
     wcos_t = jnp.asarray(wcos, jnp.float32).T
     wsin_t = jnp.asarray(wsin, jnp.float32).T
     fb_t = jnp.asarray(fb, jnp.float32).T
-    return _framed_filterbank(x, wcos_t, wsin_t, fb_t, hop, tile_t, tile_f,
-                              highest, eps)
-
-
-def framed_matmul_pair_supported(x, wcos, hop) -> bool:
-    n_fft = wcos.shape[-1]
-    length = x.shape[-1]
-    if not (
-        x.dtype == jnp.float32
-        and x.ndim == 2
-        and hop > 0
-        and n_fft % hop == 0
-        and hop % 128 == 0  # slab lane dim must be 128-aligned for DMA slices
-        and length >= n_fft
-    ):
-        return False
-    t_total = (length - n_fft) // hop + 1
-    return _pick_tiles(n_fft, wcos.shape[0], t_total, hop) is not None
-
-
-def framed_matmul_pair_pallas(x, wcos, wsin, hop):
-    """Fused pair matmul; returns None to signal XLA fallback when the
-    configuration is outside the kernel's supported envelope."""
-    if not framed_matmul_pair_supported(x, wcos, hop):
-        return None
-    n_fft, f = wcos.shape[-1], wcos.shape[0]
-    t_total = (x.shape[-1] - n_fft) // hop + 1
-    tile_t, tile_f = _pick_tiles(n_fft, f, t_total, hop)
-    wcos_t = jnp.asarray(wcos, jnp.float32).T
-    wsin_t = jnp.asarray(wsin, jnp.float32).T
-    return _framed_matmul_pair(x, wcos_t, wsin_t, hop, tile_t, tile_f)
+    return _framed_filterbank(x, wcos_t, wsin_t, fb_t, hop, highest=highest,
+                              eps=eps, **plan)
 
 
 def _synthesis_ola_kernel(
