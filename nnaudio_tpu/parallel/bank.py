@@ -73,7 +73,8 @@ def bank_sharded_apply(transform, mesh: Mesh, **static_kwargs):
 
 
 def contraction_sharded_cqt1992(transform, mesh: Mesh, axis: str = "model",
-                                **static_kwargs):
+                                output_format: str | None = None,
+                                normalization_type: str = "librosa"):
     """Tensor-parallel CQT1992 with the **contraction** axis sharded: each
     chip holds a slice of the Fourier bins and the matching kernel columns,
     computes its partial complex product, and the partials are reduced with
@@ -83,7 +84,10 @@ def contraction_sharded_cqt1992(transform, mesh: Mesh, axis: str = "model",
 
     Requires the two-stage (trainable-style) CQT1992 parameterization:
     ``wcos/wsin`` row-sharded over Fourier bins, ``cqt_kernels_*``
-    column-sharded over the same bins.
+    column-sharded over the same bins. Supports the transform's full output
+    surface: ``output_format`` in Magnitude/Complex/Phase and every
+    ``normalization_type`` (librosa/convolutional/wrap), including the
+    reference's Phase-on-raw-pair quirk (cqt.py:249-251).
     """
     import jax.numpy as jnp
     from jax import lax, shard_map
@@ -91,8 +95,8 @@ def contraction_sharded_cqt1992(transform, mesh: Mesh, axis: str = "model",
 
     from ..core.frame import pad_signal
     from ..config import dot_precision
-
-    import jax.numpy as _jnp
+    from ..core.apply import phase_unit_stack
+    from ..features.cqt import _cqt_output
 
     n = mesh.shape[axis]
     p = dict(transform.params)
@@ -101,16 +105,17 @@ def contraction_sharded_cqt1992(transform, mesh: Mesh, axis: str = "model",
     if f_pad:
         # zero Fourier-bin rows / kernel columns contribute nothing — pad the
         # contraction axis to a shardable size, exactly
-        p["wcos"] = _jnp.pad(p["wcos"], ((0, f_pad), (0, 0)))
-        p["wsin"] = _jnp.pad(p["wsin"], ((0, f_pad), (0, 0)))
-        p["cqt_kernels_real"] = _jnp.pad(p["cqt_kernels_real"], ((0, 0), (0, f_pad)))
-        p["cqt_kernels_imag"] = _jnp.pad(p["cqt_kernels_imag"], ((0, 0), (0, f_pad)))
+        p["wcos"] = jnp.pad(p["wcos"], ((0, f_pad), (0, 0)))
+        p["wsin"] = jnp.pad(p["wsin"], ((0, f_pad), (0, 0)))
+        p["cqt_kernels_real"] = jnp.pad(p["cqt_kernels_real"], ((0, 0), (0, f_pad)))
+        p["cqt_kernels_imag"] = jnp.pad(p["cqt_kernels_imag"], ((0, 0), (0, f_pad)))
     hop = transform.hop_length
     width = transform.kernel_width
     pad_amount = width // 2 if transform.center else 0
     pad_mode = transform.pad_mode
+    output_format = output_format or transform.output_format
 
-    def local(x, wcos, wsin, kr, ki, lengths):
+    def local(x, wcos, wsin, kr, ki):
         # x replicated; wcos/wsin: this shard's Fourier-bin rows;
         # kr/ki: the matching kernel columns
         prec = dot_precision()
@@ -127,24 +132,36 @@ def contraction_sharded_cqt1992(transform, mesh: Mesh, axis: str = "model",
                               preferred_element_type=jnp.float32)
                    + jnp.einsum("gf,bft->bgt", ki, fr, precision=prec,
                                 preferred_element_type=jnp.float32))
-        cqt_re = lax.psum(part_re, axis)   # reduce partial products over ICI
-        cqt_im = lax.psum(part_im, axis)
-        scale = jnp.sqrt(lengths)[None, :, None] / width
-        real_n, imag_n = cqt_re * scale, -cqt_im * scale
-        return jnp.sqrt(real_n ** 2 + imag_n ** 2)
+        # reduce partial products over ICI
+        return lax.psum(part_re, axis), lax.psum(part_im, axis)
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis, None),
-                  P(None, axis), P(None, axis), P()),
-        out_specs=P(),
+                  P(None, axis), P(None, axis)),
+        out_specs=(P(), P()),
     )
-    jitted = jax.jit(fn)
+
+    def head(cqt_real, cqt_imag, lengths):
+        # identical to CQT1992._forward's output head (features/cqt.py)
+        real_n, imag_n = cqt_real, -cqt_imag
+        if normalization_type == "librosa":
+            scale = jnp.sqrt(lengths)[None, :, None] / width
+            real_n, imag_n = real_n * scale, imag_n * scale
+        elif normalization_type == "wrap":
+            real_n = real_n * (2 / width)
+            imag_n = imag_n * (2 / width)
+        if output_format == "Phase":
+            return phase_unit_stack(cqt_real, cqt_imag)
+        return _cqt_output(real_n, imag_n, output_format, trainable=False)
+
+    jitted = jax.jit(
+        lambda x, wc, ws, kr, ki, lengths: head(*fn(x, wc, ws, kr, ki),
+                                                lengths)
+    )
 
     def run(x):
-        import jax.numpy as jnp
-
         return jitted(
             jnp.asarray(x), p["wcos"], p["wsin"],
             p["cqt_kernels_real"], p["cqt_kernels_imag"], p["lenghts"],
