@@ -118,7 +118,9 @@ def main():
     x16 = jax.device_put(np.random.RandomState(1).randn(8, 16000).astype(np.float32))
     cf = features.CFP()
     cfp_ = dict(cf._params)
-    per = timeit(lambda xx: cf._forward(cfp_, xx), x16, iters=3)
+    # CFP runs in ~3ms/batch: needs >=20 chained iters or the ~25ms tunnel
+    # dispatch roundtrip dominates (round-1 under-reported 1.2k for this)
+    per = timeit(lambda xx: cf._forward(cfp_, xx), x16, iters=20)
     print(f"| CFP (fs=16k, 1s x 8) | {per*1e3:.2f} | {8/per:,.0f} |")
 
 
