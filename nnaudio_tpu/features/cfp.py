@@ -57,9 +57,49 @@ def _folded_dft_basis(n: int, rows: int) -> np.ndarray:
 
 
 class Combined_Frequency_Periodicity(SpectralTransform):
-    """Returns ``(Z, tfrL0, tfrLF, tfrLQ)``; the first/last frames are trimmed
-    (cfp.py:152-155). Defaults: ``fr=2, fs=16000, hop_length=320,
-    window_size=2049, fc=80, tc=1/1000, g=[0.24, 0.6, 1], NumPerOct=48``.
+    """Combined frequency & periodicity multipitch feature (Su & Yang): a
+    long-window STFT magnitude feeds alternating spectral/cepstral
+    ``relu^g`` layers with index cutoffs; the final spectral and quefrency
+    maps are projected onto a log-frequency axis and multiplied.
+
+    Parameters
+    ----------
+    fr : float
+        Frequency resolution in Hz; the internal transform length is
+        ``N = fs/fr``. Default 2.
+    fs : float
+        Sampling rate of the input audio. Default 16000.
+    hop_length : int
+        Hop between frames in samples. Default 320.
+    window_size : int
+        Blackman-Harris analysis window length (zero-padded to ``N``).
+        Default 2049.
+    fc : float
+        Spectral cutoff in Hz: spectral layers zero bins below
+        ``fc/fr``. Default 80.
+    tc : float
+        Periodicity (quefrency) cutoff in seconds: cepstral layers zero
+        quefrencies below ``fs*tc`` samples. Default 1/1000.
+    g : sequence of float
+        Per-layer nonlinearity exponents (``relu(x)^g``; a 0 entry means
+        ``log``). Length sets the number of layers. Default
+        ``(0.24, 0.6, 1)``.
+    NumPerOct : int
+        Log-frequency output resolution, bins per octave. Default 48.
+
+    Returns
+    -------
+    (Z, tfrL0, tfrLF, tfrLQ) : tuple of jax.Array
+        ``Z = tfrLF * tfrLQ`` is the combined map; ``tfrL0/ tfrLF/ tfrLQ``
+        are the log-frequency projections of the raw spectrogram, the final
+        spectral layer, and the final cepstral layer, each
+        ``(num_audio, NumPerOct * n_octaves, time_steps)``. The first and
+        last frames are trimmed (cfp.py:152-155).
+
+    Examples
+    --------
+    >>> layer = Combined_Frequency_Periodicity(fs=16000)
+    >>> Z, tfrL0, tfrLF, tfrLQ = layer(x)
     """
 
     _trim_edge_frames = True
@@ -221,8 +261,15 @@ class Combined_Frequency_Periodicity(SpectralTransform):
 
 
 class CFP(Combined_Frequency_Periodicity):
-    """Variant returning only ``Z`` with no edge-frame trimming, so timesteps
-    align with the other transforms (cfp.py:249-484)."""
+    """Combined Frequency & Periodicity, single-output variant: returns only
+    ``Z`` and does not trim edge frames, so time steps align with the other
+    transforms in this package (reference cfp.py:249-484). Same parameters
+    as :class:`Combined_Frequency_Periodicity`.
+
+    Examples
+    --------
+    >>> Z = CFP(fs=16000)(x)   # (num_audio, NumPerOct * n_oct, time_steps)
+    """
 
     _trim_edge_frames = False
 

@@ -18,7 +18,53 @@ from .stft import STFT
 
 
 class ChromaSTFT(SpectralTransform):
-    """Output shape ``(B, n_chroma, T)``."""
+    """Chromagram: STFT-magnitude^power folded onto pitch classes via a
+    chroma filterbank. The reference ships the chroma filter math in
+    ``librosa_functions.py:573-716`` but never exposes a feature class —
+    this class completes that plumbing (beyond-reference surface).
+
+    Parameters
+    ----------
+    sr : float
+        Sampling rate; determines pitch-class mapping. Default 22050.
+    n_fft : int
+        Fourier transform size. Default 2048.
+    win_length : int or None
+        STFT window length. Default ``None`` — ``n_fft``.
+    n_chroma : int
+        Number of pitch classes. Default 12.
+    hop_length : int
+        Hop between frames. Default 512.
+    window : str
+        STFT window. Default ``'hann'``.
+    center : bool
+        Center frames on their time index. Default ``True``.
+    pad_mode : {'reflect', 'constant'}
+        Padding when centered. Default ``'reflect'``.
+    power : float
+        Exponent on the STFT magnitude. Default 2.0.
+    tuning : float
+        Tuning offset in fractions of a chroma bin. Default 0.0.
+    norm : float or None
+        Per-frame column normalization of the chroma filters (librosa
+        convention; ``inf`` = max-norm). Default ``inf``.
+    trainable_chroma : bool
+        Make the chroma filterbank a leaf parameter. Default ``False``.
+    trainable_STFT : bool
+        Make the Fourier kernels trainable. Default ``False``.
+    verbose : bool
+        Print kernel-construction info. Default ``True``.
+
+    Returns
+    -------
+    chromagram : jax.Array
+        ``(num_audio, n_chroma, time_steps)``.
+
+    Examples
+    --------
+    >>> chroma_layer = ChromaSTFT(sr=22050, n_chroma=12)
+    >>> chroma = chroma_layer(x)
+    """
 
     def __init__(
         self,

@@ -71,13 +71,73 @@ def _check_norm_type(normalization_type: str):
 
 
 class CQT1992(SpectralTransform):
-    """Original Brown–Puckette CQT: rectangular-window Fourier stage followed
-    by a frequency-domain complex matmul with FFT'd CQT kernels
-    (reference ``cqt.py:9-256``).
+    """Original Brown–Puckette constant-Q transform: a rectangular-window
+    Fourier stage followed by a frequency-domain complex matmul with FFT'd
+    CQT kernels (reference ``cqt.py:9-256``). When neither stage is
+    trainable, both linear maps are composed once at init (in fp64) into a
+    single time-domain basis pair — one framed matmul instead of two.
 
-    Defaults: ``sr=22050, hop_length=512, fmin=220, n_bins=84,
-    bins_per_octave=12``. The ``norm`` argument only shapes the kernels (the
-    reference notes it is otherwise "not functioning", cqt.py:126).
+    Input shapes ``(len_audio,)``, ``(num_audio, len_audio)`` or
+    ``(num_audio, 1, len_audio)``.
+
+    Parameters
+    ----------
+    sr : float
+        Sampling rate of the input audio. Default 22050.
+    hop_length : int
+        Hop (stride) between frames in samples. Default 512.
+    fmin : float
+        Center frequency of the lowest CQT bin in Hz. Default 220.
+    fmax : float or None
+        If set, overrides ``n_bins``: bins are placed from ``fmin`` up to
+        ``fmax`` at ``bins_per_octave`` per octave. Default ``None``.
+    n_bins : int
+        Total number of CQT bins. Default 84.
+    bins_per_octave : int
+        Frequency resolution: bins per octave. Default 12 (semitones).
+    filter_scale : float
+        Scales the kernel Q factor (``Q = filter_scale /
+        (2^(1/bins_per_octave) - 1)``): < 1 shortens the wavelets (better
+        time resolution), > 1 lengthens them. Default 1.
+    norm : float
+        Lp-norm used to normalize the wavelet kernels at construction. The
+        reference notes it is otherwise "not functioning" (cqt.py:126).
+        Default 1.
+    window : str
+        Window applied to each wavelet (``scipy.signal.get_window``).
+        Default ``'hann'``.
+    center : bool
+        Center frames on their time index (pads ``kernel_width//2`` both
+        sides). Default ``True``.
+    pad_mode : {'reflect', 'constant'}
+        Padding used when ``center=True``; reflect falls back to constant
+        (with a warning) for signals shorter than the pad. Default
+        ``'reflect'``.
+    trainable_STFT : bool
+        Make the Fourier-stage kernels leaf parameters (forces the
+        two-stage path). Default ``False``.
+    trainable_CQT : bool
+        Make the frequency-domain CQT kernels leaf parameters (forces the
+        two-stage path). Default ``False``.
+    output_format : {'Magnitude', 'Complex', 'Phase'}
+        Default output type; can be overridden per call, along with
+        ``normalization_type`` in {'librosa', 'convolutional', 'wrap'}
+        (librosa: ``sqrt(lenghts)/kernel_width`` scaling; convolutional:
+        none; wrap: ``2/kernel_width``). Default ``'Magnitude'``.
+
+    Returns
+    -------
+    spectrogram : jax.Array
+        ``(num_audio, n_bins, time_steps)`` for Magnitude;
+        ``(num_audio, n_bins, time_steps, 2)`` for Complex/Phase. The
+        Phase output uses the raw un-negated, un-normalized pair — a
+        reference quirk kept for parity (cqt.py:249-251).
+
+    Examples
+    --------
+    >>> cqt_layer = CQT1992(sr=22050, fmin=220, n_bins=80,
+    ...                     bins_per_octave=24)
+    >>> spec = cqt_layer(x)
     """
 
     def __init__(
@@ -201,12 +261,66 @@ class CQT1992(SpectralTransform):
 
 
 class CQT1992v2(SpectralTransform):
-    """Direct time-domain CQT: one framed matmul with complex log-spaced
-    wavelets (reference ``cqt.py:561-802``; the default ``CQT``).
+    """Direct time-domain constant-Q transform: one framed matmul of the
+    signal against complex log-spaced wavelets (reference ``cqt.py:561-802``;
+    this is what the :class:`CQT` alias resolves to). On TPU the Magnitude
+    path runs as the fused Pallas frame+matmul+magnitude kernel.
 
-    Defaults: ``sr=22050, hop_length=512, fmin=32.70, n_bins=84,
-    bins_per_octave=12, norm=1, window='hann', center=True``.
-    Output: ``(B, n_bins, T)`` Magnitude, ``(B, n_bins, T, 2)`` Complex/Phase.
+    Input shapes ``(len_audio,)``, ``(num_audio, len_audio)`` or
+    ``(num_audio, 1, len_audio)``.
+
+    Parameters
+    ----------
+    sr : float
+        Sampling rate of the input audio. Default 22050.
+    hop_length : int
+        Hop (stride) between frames in samples. Default 512.
+    fmin : float
+        Center frequency of the lowest bin in Hz. Default 32.70 (C1).
+    fmax : float or None
+        If set, overrides ``n_bins`` (bins from ``fmin`` to ``fmax``).
+        Default ``None``.
+    n_bins : int
+        Total number of CQT bins. Default 84 (7 octaves at 12/octave).
+    bins_per_octave : int
+        Bins per octave. Default 12.
+    filter_scale : float
+        Q-factor scale for the wavelet lengths; < 1 trades frequency for
+        time resolution. Default 1.
+    norm : float
+        Lp-norm for kernel normalization at construction. Default 1.
+    window : str or tuple
+        Wavelet window (``scipy.signal.get_window``); tuples like
+        ``('gaussian', 50)`` work. Default ``'hann'``.
+    center : bool
+        Center frames on their time index (pads ``kernel_width//2`` both
+        sides). Default ``True``.
+    pad_mode : {'reflect', 'constant'}
+        Padding when ``center=True`` (reflect falls back to constant, with
+        a warning, for short signals). Default ``'reflect'``.
+    trainable : bool
+        Make the wavelet banks leaf parameters; gradients flow through the
+        framed-matmul custom VJP. Default ``False``.
+    output_format : {'Magnitude', 'Complex', 'Phase'}
+        Default output type; overridable per call together with
+        ``normalization_type`` in {'librosa', 'convolutional', 'wrap'}.
+        Default ``'Magnitude'``.
+    verbose : bool
+        Print kernel-construction info. Default ``True``.
+
+    Returns
+    -------
+    spectrogram : jax.Array
+        ``(num_audio, n_bins, time_steps)`` for Magnitude;
+        ``(num_audio, n_bins, time_steps, 2)`` for Complex/Phase (Phase
+        keeps the reference's un-negated convention, cqt.py:793-800).
+        ``forward_manual(x)`` additionally exposes the reference's
+        manual-normalization variant (``* sqrt(lenghts)``).
+
+    Examples
+    --------
+    >>> cqt_layer = CQT1992v2(sr=22050, hop_length=512, n_bins=84)
+    >>> spec = cqt_layer(x)
     """
 
     def __init__(
@@ -376,13 +490,65 @@ class _PyramidCQT(SpectralTransform):
 
 
 class CQT2010(_PyramidCQT):
-    """Schörkhuber multi-octave CQT with a frequency-domain top-octave bank:
-    per octave, a rectangular-window Fourier stage + complex matmul with the
-    FFT'd kernels; the input is repeatedly lowpass-downsampled by 2
-    (reference ``cqt.py:259-558``).
+    """Schörkhuber–Klapuri multi-octave CQT with a frequency-domain
+    top-octave bank: per octave, a rectangular-window Fourier stage +
+    complex matmul with the FFT'd kernels; between octaves the signal is
+    lowpass-filtered and downsampled by 2, halving the effective hop
+    (reference ``cqt.py:259-558``). Frozen stages are composed into a
+    single per-octave basis at init.
 
     Unlike the 1992 family there is no ``center`` switch — the signal is
     always padded by ``n_fft//2`` per octave (cqt.py:474-478).
+
+    Parameters
+    ----------
+    sr : float
+        Sampling rate. Default 22050.
+    hop_length : int
+        Hop at the original sample rate; each deeper octave sees it halved.
+        Must be a multiple of ``2^(n_octaves-1)``. Default 512.
+    fmin : float
+        Lowest bin center frequency in Hz. Default 32.70.
+    fmax : float or None
+        If set, overrides ``n_bins``. Default ``None``.
+    n_bins : int
+        Total bins. Default 84.
+    bins_per_octave : int
+        Bins per octave. Default 12.
+    norm : bool
+        Normalize the output by the kernel lengths (the reference's
+        ``norm`` flag). Default ``True``.
+    basis_norm : float
+        Lp-norm for the kernel bank at construction. Default 1.
+    window : str
+        Wavelet window. Default ``'hann'``.
+    pad_mode : {'reflect', 'constant'}
+        Per-octave padding mode. Default ``'reflect'``.
+    trainable_STFT, trainable_CQT : bool
+        Make the Fourier stage / CQT kernel bank leaf parameters (keeps the
+        two-stage per-octave path). Defaults ``False``.
+    filter_scale : float
+        Q-factor scale. Default 1.
+    earlydownsample : bool
+        Pre-decimate the input when the top octave's Nyquist allows it
+        (the reference's early-downsampling optimization, cqt.py:296-343).
+        Default ``True``.
+    output_format : {'Magnitude', 'Complex', 'Phase'}
+        Default output type; overridable per call with
+        ``normalization_type``. Default ``'Magnitude'``.
+    verbose : bool
+        Print kernel-construction info. Default ``True``.
+
+    Returns
+    -------
+    spectrogram : jax.Array
+        ``(num_audio, n_bins, time_steps)`` Magnitude or
+        ``(num_audio, n_bins, time_steps, 2)`` Complex/Phase.
+
+    Examples
+    --------
+    >>> cqt_layer = CQT2010(sr=22050, n_bins=160, bins_per_octave=24)
+    >>> spec = cqt_layer(x)
     """
 
     def __init__(
@@ -506,12 +672,61 @@ class CQT2010(_PyramidCQT):
 
 
 class CQT2010v2(_PyramidCQT):
-    """Multi-octave pyramid with time-domain top-octave kernels
-    (reference ``cqt.py:805-1139``): per octave a direct framed matmul with the
-    complex wavelets (no Fourier stage); early downsampling on by default.
+    """Multi-octave CQT pyramid with time-domain top-octave kernels
+    (reference ``cqt.py:805-1139``): each octave applies a direct framed
+    matmul with the complex wavelets of the TOP octave (the bank is shared —
+    deeper octaves reuse it on the downsampled signal), with lowpass
+    decimation by 2 between octaves and optional early downsampling of the
+    input. This is the librosa-equivalent fast CQT and the engine behind
+    :class:`~nnaudio_tpu.features.VQT`.
 
-    Defaults: ``sr=22050, hop_length=512, fmin=32.70, n_bins=84,
-    bins_per_octave=12, earlydownsample=True``.
+    Parameters
+    ----------
+    sr : float
+        Sampling rate. Default 22050.
+    hop_length : int
+        Hop at the original rate; halves per octave, so it must be a
+        multiple of ``2^(n_octaves-1)``. Default 512.
+    fmin : float
+        Lowest bin center frequency in Hz. Default 32.70.
+    fmax : float or None
+        If set, overrides ``n_bins``. Default ``None``.
+    n_bins : int
+        Total bins. Default 84.
+    filter_scale : float
+        Q-factor scale. Default 1.
+    bins_per_octave : int
+        Bins per octave. Default 12.
+    norm : bool
+        Normalize output by kernel lengths. Default ``True``.
+    basis_norm : float
+        Lp-norm for kernel construction. Default 1.
+    window : str
+        Wavelet window. Default ``'hann'``.
+    pad_mode : {'reflect', 'constant'}
+        Per-octave padding mode. Default ``'reflect'``.
+    earlydownsample : bool
+        Pre-decimate the input when possible. Default ``True``.
+    trainable : bool
+        Make the shared top-octave wavelet bank a leaf parameter. Default
+        ``False``.
+    output_format : {'Magnitude', 'Complex', 'Phase'}
+        Default output type; overridable per call with
+        ``normalization_type`` in {'librosa', 'convolutional', 'wrap'}.
+        Default ``'Magnitude'``.
+    verbose : bool
+        Print kernel-construction info. Default ``True``.
+
+    Returns
+    -------
+    spectrogram : jax.Array
+        ``(num_audio, n_bins, time_steps)`` Magnitude or
+        ``(num_audio, n_bins, time_steps, 2)`` Complex/Phase.
+
+    Examples
+    --------
+    >>> cqt_layer = CQT2010v2(sr=22050, hop_length=512, n_bins=84)
+    >>> spec = cqt_layer(x)
     """
 
     def __init__(

@@ -16,8 +16,53 @@ from .stft import STFT
 
 
 class Gammatonegram(SpectralTransform):
-    """Output shape ``(B, n_bins, T)``; ``trainable_bins`` / ``trainable_STFT``
-    switches mirror the reference (gammatone.py:159-169)."""
+    """Gammatonegram: STFT-magnitude^power projected onto a 4th-order
+    gammatone (ERB-scale) filterbank — the auditory-model analogue of the
+    mel spectrogram (reference ``gammatone.py``). On TPU the composite runs
+    as the fused frame+matmul+power+filterbank Pallas kernel.
+
+    Parameters
+    ----------
+    sr : float
+        Sampling rate; determines ERB filter placement. Default 22050.
+    n_fft : int
+        Fourier transform size. Default 2048.
+    win_length : int or None
+        STFT window length. Default ``None`` — ``n_fft``.
+    n_bins : int
+        Number of gammatone channels. Default 64 (the reference hardcodes
+        64 in its filterbank call regardless of this argument — quirk
+        replicated; see filters/gammatone.py).
+    hop_length : int
+        Hop between frames. Default 512.
+    window : str
+        STFT window. Default ``'hann'``.
+    center : bool
+        Center frames on their time index. Default ``True``.
+    pad_mode : {'reflect', 'constant'}
+        Padding when centered. Default ``'reflect'``.
+    power : float
+        Exponent on the STFT magnitude. Default 2.0.
+    htk, fmin, fmax, norm
+        Accepted for signature parity with MelSpectrogram; the gammatone
+        bank uses the ERB scale (fmin/fmax shape it).
+    trainable_bins : bool
+        Make the gammatone filterbank a leaf parameter. Default ``False``.
+    trainable_STFT : bool
+        Make the Fourier kernels trainable. Default ``False``.
+    verbose : bool
+        Print kernel-construction info. Default ``True``.
+
+    Returns
+    -------
+    spectrogram : jax.Array
+        ``(num_audio, n_bins, time_steps)``.
+
+    Examples
+    --------
+    >>> gamma_layer = Gammatonegram(sr=44100, n_bins=64)
+    >>> spec = gamma_layer(x)
+    """
 
     def __init__(
         self,

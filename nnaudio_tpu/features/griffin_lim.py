@@ -28,12 +28,54 @@ from .base import SpectralTransform
 
 
 class Griffin_Lim(SpectralTransform):
-    """Phase recovery from a magnitude spectrogram ``(B, n_fft//2+1, T)``.
+    """Fast Griffin-Lim phase recovery from a magnitude spectrogram.
 
-    Parity parameters (griffin_lim.py:8-80): ``n_fft``, ``n_iter=32``,
-    ``hop_length`` (default ``n_fft//4``), ``win_length`` (default ``n_fft``),
-    ``window='hann'``, ``center=True``, ``pad_mode='reflect'``,
-    ``momentum=0.99``. Returns waveforms of length ``(T-1)*hop_length``.
+    Iterates iSTFT → STFT → momentum phase update entirely on device inside
+    one ``lax.fori_loop`` (the reference loops in Python,
+    griffin_lim.py:105-137). Randomness is an explicit ``jax.random`` key;
+    results are deterministic given the key.
+
+    Parameters
+    ----------
+    n_fft : int
+        Size of the Fourier transform the magnitudes were produced with.
+    n_iter : int
+        Number of fixed-point iterations. Default 32.
+    hop_length : int or None
+        Hop size of the forward STFT. Default ``None`` — ``n_fft//4``.
+    win_length : int or None
+        Window length. Default ``None`` — ``n_fft``.
+    window : str
+        Window function (``scipy.signal.get_window``). Default ``'hann'``.
+    center : bool
+        Whether the forward STFT was centered. Default ``True``.
+    pad_mode : {'reflect', 'constant'}
+        Padding used by the in-loop analysis STFT. Default ``'reflect'``.
+    momentum : float
+        Momentum of the fast Griffin-Lim update (0 = classic Griffin-Lim).
+        Default 0.99.
+    device : str or None
+        Accepted for reference API parity; placement is JAX's concern here.
+    iter_precision : {'default', 'highest'}
+        Matmul precision for the in-loop transform pair. Griffin-Lim is a
+        fixed-point projection — every iteration re-imposes the target
+        magnitudes, so per-iteration rounding does not accumulate;
+        ``'default'`` (bf16 multiplies) roughly doubles TPU throughput at
+        measured-equal reconstruction SNR. The final synthesis always runs
+        at the ambient config precision, and this flag never *raises*
+        precision above the ambient setting. Default ``'default'``.
+
+    Returns
+    -------
+    waveform : jax.Array
+        ``(num_audio, (time_steps - 1) * hop_length)`` when centered. Call
+        as ``gl(S)`` or ``gl(S, key=jax.random.PRNGKey(k))`` with ``S`` of
+        shape ``(num_audio, n_fft//2 + 1, time_steps)``.
+
+    Examples
+    --------
+    >>> S = STFT(1024, hop_length=256, output_format="Magnitude")(x)
+    >>> rec = Griffin_Lim(n_fft=1024, hop_length=256)(S)
     """
 
     def __init__(
@@ -49,15 +91,6 @@ class Griffin_Lim(SpectralTransform):
         device: str | None = None,  # accepted for API parity; unused
         iter_precision: str = "default",
     ):
-        """``iter_precision``: matmul precision for the in-loop STFT/iSTFT
-        pair. Griffin-Lim is a fixed-point projection — every iteration
-        replaces the magnitudes with the target ``S`` and renormalizes the
-        phase, so per-iteration rounding does not accumulate; iterating in
-        bf16 (``"default"``) roughly doubles throughput at equal
-        reconstruction SNR. The final synthesis always runs at the ambient
-        config precision. Set ``"highest"`` to force fp32 iterations. This
-        never *raises* precision above the ambient config (fast_mode() stays
-        fast throughout)."""
         super().__init__()
         if iter_precision not in ("default", "highest"):
             raise ValueError(f"unknown iter_precision {iter_precision!r}")

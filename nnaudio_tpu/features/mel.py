@@ -22,13 +22,64 @@ from .stft import STFT
 
 
 class MelSpectrogram(SpectralTransform):
-    """STFT-magnitude^power projected onto a Mel filterbank.
+    """Mel spectrogram: STFT-magnitude^power projected onto a Mel filterbank.
 
-    Argument and behavior parity with the reference class (``mel.py:9-194``):
-    defaults ``sr=22050, n_fft=2048, n_mels=128, hop_length=512``, Slaney mel
-    scale (``htk=False``) with area normalization (``norm=1``), and the
-    ``trainable_mel`` / ``trainable_STFT`` switches. Output shape
-    ``(B, n_mels, T)``.
+    Input shapes ``(len_audio,)``, ``(num_audio, len_audio)`` or
+    ``(num_audio, 1, len_audio)``; arguments follow librosa (reference
+    class: ``mel.py:9-194``). On TPU the whole composite —
+    frame + Fourier matmul + power + filterbank projection — runs as a
+    single fused Pallas kernel: the ``(B, F, T)`` spectrogram never exists
+    in HBM.
+
+    Parameters
+    ----------
+    sr : float
+        Sampling rate of the input audio; determines the mel filter
+        placement. Default 22050.
+    n_fft : int
+        Size of the underlying Fourier transform. Default 2048.
+    win_length : int or None
+        STFT window length. Default ``None`` — ``n_fft``.
+    n_mels : int
+        Number of mel bands. Default 128.
+    hop_length : int
+        Hop (stride) between frames in samples. Default 512.
+    window : str
+        Window function (``scipy.signal.get_window``). Default ``'hann'``.
+    center : bool
+        Center frames on their time index (pads ``n_fft//2`` both sides).
+        Default ``True``.
+    pad_mode : {'reflect', 'constant'}
+        Padding used when ``center=True``. Default ``'reflect'``.
+    power : float
+        Exponent on the STFT magnitude before the filterbank: 1.0 for an
+        energy spectrogram, 2.0 (default) for power.
+    htk : bool
+        Use the HTK mel formula instead of Slaney's. Default ``False``.
+    fmin, fmax : float or None
+        Frequency range covered by the mel filters. Defaults 0.0 /
+        ``None`` (``sr/2``).
+    norm : {1, None, ...}
+        Mel filter normalization; ``1`` (default) is Slaney area
+        normalization (divide by band width), ``None`` leaves unit peaks.
+    trainable_mel : bool
+        Make the mel filterbank a leaf parameter (gradients via
+        ``jax.grad`` through :meth:`SpectralTransform.apply`). Default
+        ``False``.
+    trainable_STFT : bool
+        Make the underlying Fourier kernels trainable. Default ``False``.
+    verbose : bool
+        Print kernel-construction info. Default ``True``.
+
+    Returns
+    -------
+    spectrogram : jax.Array
+        ``(num_audio, n_mels, time_steps)``.
+
+    Examples
+    --------
+    >>> mel_layer = MelSpectrogram(sr=22050, n_fft=2048, n_mels=128)
+    >>> mels = mel_layer(x)
     """
 
     def __init__(
@@ -107,12 +158,46 @@ class MelSpectrogram(SpectralTransform):
 
 
 class MFCC(SpectralTransform):
-    """MelSpectrogram → power-to-dB → DCT-II basis matmul → top ``n_mfcc``.
+    """Mel-frequency cepstral coefficients:
+    MelSpectrogram → power-to-dB → DCT-II basis matmul → top ``n_mfcc``.
 
-    Parity with the reference (``mel.py:197-329``): ``ref``/``amin``/``top_db``
-    semantics of ``_power_to_db`` including the **batchwise** max clamp
-    (``mel.py:276-277``), ortho-normalized type-II DCT, default ``n_mfcc=20``.
-    Output shape ``(B, n_mfcc, T)``.
+    Behavior parity with the reference (``mel.py:197-329``), including the
+    **batchwise** ``top_db`` max clamp of ``power_to_db`` (``mel.py:276-277``
+    — the clamp reference point is the max over the whole batch, not per
+    example). The DCT runs as an ortho-normalized type-II basis matmul on
+    the MXU.
+
+    Parameters
+    ----------
+    sr : float
+        Sampling rate of the input audio. Default 22050.
+    n_mfcc : int
+        Number of cepstral coefficients kept. Default 20.
+    norm : str
+        DCT normalization; ``'ortho'`` (default) matches
+        ``scipy.fft.dct(..., norm='ortho')``.
+    ref : float
+        Reference power for the dB conversion. Default 1.0.
+    amin : float
+        Floor on powers before ``log10`` (avoids ``-inf``). Default 1e-10.
+    top_db : float or None
+        If set (default 80.0), clamp the dB spectrogram to
+        ``max - top_db``, with the max taken batchwise.
+    verbose : bool
+        Print kernel-construction info. Default ``True``.
+    **kwargs
+        Forwarded to the underlying :class:`MelSpectrogram` (``n_fft``,
+        ``n_mels``, ``hop_length``, ``trainable_mel``, ...).
+
+    Returns
+    -------
+    mfcc : jax.Array
+        ``(num_audio, n_mfcc, time_steps)``.
+
+    Examples
+    --------
+    >>> mfcc_layer = MFCC(sr=22050, n_mfcc=20)
+    >>> coefs = mfcc_layer(x)
     """
 
     def __init__(

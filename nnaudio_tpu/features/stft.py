@@ -101,17 +101,79 @@ def _inverse_stft_graph(
 
 
 class STFT(SpectralTransform):
-    """Short-time Fourier transform as a trainable basis matmul.
+    """Short-time Fourier transform as a (trainable) basis matmul.
 
-    Parameters follow the reference class (stft.py:153-254): ``n_fft``,
-    ``win_length``, ``freq_bins``, ``hop_length`` (default ``win_length//4``),
-    ``window``, ``freq_scale`` ∈ {linear, log, log2, no}, ``center``,
-    ``pad_mode`` ∈ {reflect, constant}, ``iSTFT`` to enable :meth:`inverse`,
-    ``fmin``/``fmax``/``sr`` for scaled bin placement, ``trainable``,
-    ``output_format`` ∈ {Magnitude, Complex, Phase}.
+    Computes the STFT of an input signal. Accepted input shapes:
+    ``(len_audio,)``, ``(num_audio, len_audio)``, or
+    ``(num_audio, 1, len_audio)`` — the correct shape is inferred
+    automatically. Most arguments follow the librosa convention (reference
+    class: stft.py:153-254). On TPU the hot path runs as a fused Pallas
+    frame+matmul kernel (magnitude epilogue fused in VMEM); trainable
+    kernels differentiate through a custom VJP identical to the XLA path.
 
-    Input shapes ``(L,)``, ``(B, L)`` or ``(B, 1, L)``; output
-    ``(B, F, T)`` for Magnitude/Phase, ``(B, F, T, 2)`` for Complex.
+    Parameters
+    ----------
+    n_fft : int
+        Size of the Fourier transform. Default 2048.
+    win_length : int or None
+        Size of the window frame (and of the STFT filters before centered
+        zero-padding to ``n_fft``). Default ``None`` — treated as ``n_fft``.
+    freq_bins : int or None
+        Number of frequency bins. Default ``None`` — ``n_fft//2 + 1`` bins
+        (onesided spectrum).
+    hop_length : int or None
+        Hop (stride) between frames in samples. Default ``None`` —
+        ``win_length//4``.
+    window : str
+        Window function name, dispatched through
+        ``scipy.signal.get_window`` (e.g. ``'hann'``, ``'hamming'``,
+        ``('gaussian', 50)`` works via scipy too). Default ``'hann'``.
+    freq_scale : {'no', 'linear', 'log', 'log2'}
+        Spacing of the frequency bins. With ``'linear'``, ``'log'`` or
+        ``'log2'`` the bin placement is controlled by ``fmin``/``fmax``;
+        with ``'no'`` bins run from 0 Hz to Nyquist with linear spacing and
+        ``fmin``/``fmax`` do nothing. Default ``'no'``.
+    center : bool
+        If ``True`` (default) each frame is centered on its time index
+        (the signal is padded by ``n_fft//2`` on both sides); if ``False``
+        the time index is the frame start.
+    pad_mode : {'reflect', 'constant'}
+        Padding method used when ``center=True``. Default ``'reflect'``.
+    iSTFT : bool
+        If ``True``, also build the inverse kernels so :meth:`inverse` is
+        available. Default ``False`` (saves memory). The inverse kernels are
+        not trainable — use the standalone :class:`iSTFT` for that.
+    fmin, fmax : float
+        Frequency range of the lowest/highest bin for the scaled
+        ``freq_scale`` modes. Defaults 50 / 6000. Ignored when
+        ``freq_scale='no'``.
+    sr : float
+        Sampling rate of the input audio — used (with ``fmin``/``fmax``) to
+        place scaled bins correctly. Default 22050.
+    trainable : bool
+        If ``True``, the windowed Fourier kernels become leaf parameters:
+        gradients flow to them through ``jax.grad`` via
+        :meth:`SpectralTransform.apply`. Default ``False``.
+    output_format : {'Complex', 'Magnitude', 'Phase'}
+        Default output type; can be overridden per call. Default
+        ``'Complex'``.
+    verbose : bool
+        Print kernel-construction info. Default ``True``.
+
+    Returns
+    -------
+    spectrogram : jax.Array
+        ``(num_audio, freq_bins, time_steps)`` for ``'Magnitude'`` /
+        ``'Phase'``; ``(num_audio, freq_bins, time_steps, 2)`` for
+        ``'Complex'`` (last axis stacks ``(real, -imag)``, matching the
+        reference's torch convention, stft.py:309-311). In trainable mode
+        Magnitude adds 1e-8 under the sqrt (stft.py:299-306).
+
+    Examples
+    --------
+    >>> spec_layer = STFT(n_fft=2048, hop_length=512)
+    >>> specs = spec_layer(x)                       # (B, 1025, T, 2)
+    >>> mags = spec_layer(x, output_format="Magnitude")
     """
 
     def __init__(
@@ -288,10 +350,63 @@ class STFT(SpectralTransform):
 class iSTFT(SpectralTransform):
     """Standalone inverse STFT with separately trainable kernels and window.
 
-    Mirrors the reference class (stft.py:439-546). The window mask is
-    zero-padded (centered) to ``n_fft`` — with the default
-    ``win_length == n_fft`` this is identical to the reference; for
-    ``win_length < n_fft`` the reference would crash on a shape mismatch.
+    Reconstructs a waveform from a complex spectrogram via an IDFT basis
+    matmul + overlap-add with in-graph window-sumsquare normalization
+    (reference class: stft.py:439-546; unlike the reference there is no
+    stateful cross-call ``w_sum`` cache). With onesided frozen kernels the
+    Hermitian symmetry is folded into per-bin weights, halving the
+    synthesis matmul; on TPU synthesis+OLA can run as one fused kernel.
+
+    Parameters
+    ----------
+    n_fft : int
+        Size of the Fourier transform the spectrogram was produced with.
+        Default 2048.
+    win_length : int or None
+        Analysis window length. Default ``None`` — ``n_fft``. The window
+        mask is zero-padded (centered) to ``n_fft``; for
+        ``win_length < n_fft`` the reference crashes on a shape mismatch —
+        this implementation handles it (documented divergence, ROADMAP.md).
+    freq_bins : int or None
+        Number of frequency bins of the input spectrogram. Default ``None``
+        — ``n_fft//2 + 1`` (use ``onesided=True`` in the call).
+    hop_length : int or None
+        Hop size used by the forward STFT. Default ``None`` —
+        ``win_length//4``.
+    window : str
+        Window function name (``scipy.signal.get_window``). Default
+        ``'hann'``.
+    freq_scale, fmin, fmax, sr
+        Kernel bin placement, as in :class:`STFT`. Non-``'no'`` scales
+        build the matching inverse kernels.
+    center : bool
+        Whether the forward transform was centered; trims the
+        ``n_fft//2``-sample pad from the output. Default ``True``.
+    trainable_kernels : bool
+        Make the IDFT cos/sin kernel banks leaf parameters. Default
+        ``False``.
+    trainable_window : bool
+        Make the synthesis window mask a leaf parameter. Default ``False``.
+    verbose : bool
+        Print kernel-construction info. Default ``True``.
+    refresh_win : bool
+        Accepted for API parity with the reference's window-sumsquare cache
+        control; this implementation recomputes the envelope in-graph, so
+        the flag has no effect.
+
+    Returns
+    -------
+    waveform : jax.Array
+        ``(num_audio, length)`` reconstruction. Call as
+        ``layer(X, onesided=True, length=L)`` where ``X`` is a
+        ``(B, F, T, 2)`` complex stack.
+
+    Examples
+    --------
+    >>> st = STFT(n_fft=1024, hop_length=256, output_format="Complex")
+    >>> X = st(x)
+    >>> rec = iSTFT(n_fft=1024, hop_length=256)(X, onesided=True,
+    ...                                         length=x.shape[-1])
     """
 
     def __init__(

@@ -30,9 +30,63 @@ from .cqt import _center_pad, _check_norm_type, _cqt_output
 
 
 class VQT(SpectralTransform):
-    """Defaults: ``sr=22050, hop_length=512, fmin=32.70, n_bins=84,
-    bins_per_octave=12, gamma=0, earlydownsample=True``.
-    Output: ``(B, n_bins, T)`` Magnitude, ``(B, n_bins, T, 2)`` Complex/Phase.
+    """Variable-Q transform: the CQT2010v2 pyramid with a per-octave kernel
+    bank whose bandwidths are broadened by ``gamma`` (reference ``vqt.py``).
+    At ``gamma=0`` the output is bit-identical to
+    :class:`~nnaudio_tpu.features.CQT2010v2` (tested); ``gamma > 0``
+    shortens the low-frequency wavelets, trading frequency resolution for
+    time resolution like ``librosa.vqt``.
+
+    Parameters
+    ----------
+    sr : float
+        Sampling rate. Default 22050.
+    hop_length : int
+        Hop at the original rate; halves per octave. Default 512.
+    fmin : float
+        Lowest bin center frequency in Hz. Default 32.70.
+    fmax : float or None
+        If set, overrides ``n_bins``. Default ``None``.
+    n_bins : int
+        Total bins. Default 84.
+    filter_scale : float
+        Q-factor scale. Default 1.
+    bins_per_octave : int
+        Bins per octave. Default 12.
+    norm : bool
+        Normalize output by kernel lengths. Default ``True``.
+    basis_norm : float
+        Lp-norm for kernel construction. Default 1.
+    gamma : float
+        Bandwidth offset in Hz added to each filter's Q bandwidth
+        (``alpha * f_k + gamma``). 0 reproduces the CQT exactly. Default 0.
+    window : str
+        Wavelet window. Default ``'hann'``.
+    pad_mode : {'reflect', 'constant'}
+        Per-octave padding mode. Default ``'reflect'``.
+    earlydownsample : bool
+        Pre-decimate the input when possible. Replicates the reference's
+        original-sr quirk in the per-octave kernel construction. Default
+        ``True``.
+    trainable : bool
+        Make the per-octave wavelet banks leaf parameters. Default
+        ``False``.
+    output_format : {'Magnitude', 'Complex', 'Phase'}
+        Default output type; overridable per call with
+        ``normalization_type``. Default ``'Magnitude'``.
+    verbose : bool
+        Print kernel-construction info. Default ``True``.
+
+    Returns
+    -------
+    spectrogram : jax.Array
+        ``(num_audio, n_bins, time_steps)`` Magnitude or
+        ``(num_audio, n_bins, time_steps, 2)`` Complex/Phase.
+
+    Examples
+    --------
+    >>> vqt_layer = VQT(sr=22050, gamma=2)
+    >>> spec = vqt_layer(x)
     """
 
     def __init__(
