@@ -22,10 +22,12 @@ class _Config:
     # power/filterbank epilogue kernels — 1.25-1.8x the XLA pipeline; see
     # ops/dispatch.py).
     use_pallas: bool = True
-    # The fused synthesis+overlap-add kernel measured ~15% slower than the
-    # XLA einsum + chunked slice-add path (kernel-block restreaming per
-    # grid step dominates); kept for future tuning, off by default.
-    use_pallas_synthesis: bool = False
+    # Fused synthesis+overlap-add kernel (iSTFT/Griffin-Lim). None = auto:
+    # on in fast (bf16) mode, where the full kernel bank fits VMEM and the
+    # kernel beats the XLA einsum+OLA path (67k vs 59k audio-s/s at the
+    # headline config); off at HIGHEST (XLA path measured at parity or
+    # slightly ahead). True/False force it.
+    use_pallas_synthesis: bool | None = None
 
 
 _config = _Config()

@@ -451,17 +451,23 @@ def framed_filterbank_pallas(x, wcos, wsin, fb, hop, highest: bool,
 
 
 def _synthesis_ola_kernel(
-    sre_hbm, sim_hbm, kc_ref, ks_ref, out_ref, slab_re, slab_im, sem,
-    *, hop, n_fft, tile_r, slab_cols, prec
+    sre_hbm, sim_hbm, kc_ref, ks_ref, main_ref, tail_ref, fblk, slab_re,
+    slab_im, sem, *, hop, n_fft, tile_r, prec
 ):
     """Synthesis matmul + overlap-add in one pass (iSTFT hot path).
 
-    Output rows (of the (rows, hop) signal view) are produced tile by tile;
-    row r sums frame contributions ``fr[r-c][c*hop:(c+1)*hop]`` over the
-    ``n_chunks`` hop phases, each phase a (tile_r, F) x (F, hop) MXU matmul
-    against a shifted slice of the spectrum slab — the (B, n_fft, T) frame
-    tensor never exists. The frequency axis streams through the grid's
-    innermost dimension, accumulating into the resident output block.
+    Mirrors the analysis kernels' frame-block structure in reverse: the
+    frequency axis streams through the grid's innermost dimension, building
+    the (tile_r, n_fft) frame block for frames [j*tile_r, (j+1)*tile_r) —
+    aligned to the tile, zero recompute — via one transposed MXU matmul per
+    basis per step. At the LAST frequency step the overlap-add collapses
+    the block: rows [j*tile_r, +tile_r) go to the main output; the
+    n_chunks-1 boundary rows that spill into the next tile go to a small
+    ``tail`` output, added back by the caller with one cheap XLA op. The
+    (B, T, n_fft) frame tensor never exists in HBM, and the
+    sublane-misaligned OLA shifts happen once per row tile. When the whole
+    (bf16) kernel bank fits VMEM the grid has one frequency step and the
+    frame block accumulator is skipped entirely.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -469,43 +475,64 @@ def _synthesis_ola_kernel(
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
+    n_f_tiles = pl.num_programs(2)
     n_chunks = n_fft // hop
-    tile_f = kc_ref.shape[0]
+    tile_f = slab_re.shape[0]
 
-    @pl.when(k == 0)
-    def _zero():
-        out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
-
-    # spectrum slabs cover frames [j*tile_r - n_chunks + 1, j*tile_r + tile_r)
-    # (the caller pre-pads n_chunks-1 leading zero frames, so starts align)
     dma_re = pltpu.make_async_copy(
-        sre_hbm.at[i, pl.ds(k * tile_f, tile_f), pl.ds(j * tile_r, slab_cols)],
+        sre_hbm.at[i, pl.ds(k * tile_f, tile_f), pl.ds(j * tile_r, tile_r)],
         slab_re, sem,
     )
     dma_re.start()
     dma_re.wait()
     dma_im = pltpu.make_async_copy(
-        sim_hbm.at[i, pl.ds(k * tile_f, tile_f), pl.ds(j * tile_r, slab_cols)],
+        sim_hbm.at[i, pl.ds(k * tile_f, tile_f), pl.ds(j * tile_r, tile_r)],
         slab_im, sem,
     )
     dma_im.start()
     dma_im.wait()
 
-    acc = jnp.zeros((tile_r, hop), jnp.float32)
-    for c in range(n_chunks):
-        off = n_chunks - 1 - c
-        sr = slab_re[:, off : off + tile_r]
-        si = slab_im[:, off : off + tile_r]
-        kc_c = kc_ref[:, c * hop : (c + 1) * hop]
-        ks_c = ks_ref[:, c * hop : (c + 1) * hop]
-        dn = (((0,), (0,)), ((), ()))
-        acc = acc + jax.lax.dot_general(sr, kc_c, dn,
-                                        preferred_element_type=jnp.float32,
-                                        precision=prec)
-        acc = acc - jax.lax.dot_general(si, ks_c, dn,
-                                        preferred_element_type=jnp.float32,
-                                        precision=prec)
-    out_ref[0, :, :] += acc
+    # frames[t] = kc^T sre[:, t] - ks^T sim[:, t]:
+    # dot_general contracts dim 0 of both operands -> (tile_r, n_fft)
+    dn = (((0,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(slab_re[...], kc_ref[...], dn,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+    acc = acc - jax.lax.dot_general(slab_im[...], ks_ref[...], dn,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+
+    def emit(frames):
+        # main rows: row j*tile_r + rr sums frames[rr - c] chunk c (rr >= c)
+        o = jnp.zeros((tile_r, hop), jnp.float32)
+        for c in range(n_chunks):
+            part = frames[: tile_r - c, c * hop : (c + 1) * hop]
+            o = o + (part if c == 0 else jnp.pad(part, ((c, 0), (0, 0))))
+        main_ref[0, :, :] = o
+        # tail rows rr in [0, n_chunks-1): contributions of this tile's last
+        # frames to the NEXT tile's first rows: sum_{c > rr} frames[tile_r
+        # + rr - c] chunk c
+        if n_chunks > 1:
+            tl = jnp.zeros((8, hop), jnp.float32)
+            for c in range(1, n_chunks):
+                part = frames[tile_r - c :, c * hop : (c + 1) * hop]
+                tl = tl + jnp.pad(part, ((0, 8 - c), (0, 0)))
+            tail_ref[0, :, :] = tl
+
+    if n_f_tiles == 1:
+        emit(acc)
+    else:
+        @pl.when(k == 0)
+        def _init():
+            fblk[...] = acc
+
+        @pl.when(k > 0)
+        def _accum():
+            fblk[...] += acc
+
+        @pl.when(k == n_f_tiles - 1)
+        def _emit():
+            emit(fblk[...])
 
 
 @functools.partial(
@@ -521,14 +548,9 @@ def _synthesis_ola(spec_re, spec_im, kc_t, ks_t, hop, tile_r, tile_f, highest):
     rows = t + n_chunks - 1  # output length rows*hop = n_fft + hop*(t-1)
 
     n_r_tiles = -(-rows // tile_r)
-    slab_cols = -(-(tile_r + n_chunks - 1) // 128) * 128
-    # pad T axis: n_chunks-1 leading zero frames so slab starts are j*tile_r,
-    # plus trailing pad covering the last slab
-    t_pad_end = (n_r_tiles - 1) * tile_r + slab_cols - (n_chunks - 1) - t
-    spec_re = jnp.pad(spec_re, ((0, 0), (0, 0),
-                                (n_chunks - 1, max(0, t_pad_end))))
-    spec_im = jnp.pad(spec_im, ((0, 0), (0, 0),
-                                (n_chunks - 1, max(0, t_pad_end))))
+    t_pad = n_r_tiles * tile_r - t
+    spec_re = jnp.pad(spec_re, ((0, 0), (0, 0), (0, t_pad)))
+    spec_im = jnp.pad(spec_im, ((0, 0), (0, 0), (0, t_pad)))
 
     f_pad = -f % tile_f
     if f_pad:
@@ -538,12 +560,18 @@ def _synthesis_ola(spec_re, spec_im, kc_t, ks_t, hop, tile_r, tile_f, highest):
         ks_t = jnp.pad(ks_t, ((0, f_pad), (0, 0)))
     f_padded = f + f_pad
 
+    dtype = jnp.float32 if highest else jnp.bfloat16
+    spec_re = spec_re.astype(dtype)
+    spec_im = spec_im.astype(dtype)
+    kc_t = kc_t.astype(dtype)
+    ks_t = ks_t.astype(dtype)
+
     prec = (jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT)
     kern = functools.partial(
-        _synthesis_ola_kernel, hop=hop, n_fft=n_fft, tile_r=tile_r,
-        slab_cols=slab_cols, prec=prec,
+        _synthesis_ola_kernel, hop=hop, n_fft=n_fft, tile_r=tile_r, prec=prec,
     )
-    out = pl.pallas_call(
+    single = f_padded // tile_f == 1
+    main, tail = pl.pallas_call(
         kern,
         grid=(b, n_r_tiles, f_padded // tile_f),
         in_specs=[
@@ -554,24 +582,40 @@ def _synthesis_ola(spec_re, spec_im, kc_t, ks_t, hop, tile_r, tile_f, highest):
             pl.BlockSpec((tile_f, n_fft), lambda i, j, k: (k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_r, hop), lambda i, j, k: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_r_tiles * tile_r, hop),
-                                       jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, tile_r, hop), lambda i, j, k: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, hop), lambda i, j, k: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_r_tiles * tile_r, hop), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_r_tiles * 8, hop), jnp.float32),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((tile_f, slab_cols), jnp.float32),
-            pltpu.VMEM((tile_f, slab_cols), jnp.float32),
+            # single-f-tile mode never touches the frame-block accumulator
+            pltpu.VMEM((8, 128) if single else (tile_r, n_fft), jnp.float32),
+            pltpu.VMEM((tile_f, tile_r), dtype),
+            pltpu.VMEM((tile_f, tile_r), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * t * f * n_fft,
             bytes_accessed=(2 * b * f_padded * t + 2 * f_padded * n_fft
-                            + b * rows * hop) * 4,
+                            * n_r_tiles * b + b * rows * hop)
+            * (4 if highest else 2),
             transcendentals=0,
         ),
         interpret=_INTERPRET,
     )(spec_re, spec_im, kc_t, ks_t)
-    return out.reshape(b, -1)[:, : rows * hop]
+    if n_chunks > 1:
+        # fold each tile's boundary rows into the next tile's first rows
+        main = main.reshape(b, n_r_tiles, tile_r, hop)
+        tail = tail.reshape(b, n_r_tiles, 8, hop)
+        main = main.at[:, 1:, : n_chunks - 1, :].add(
+            tail[:, :-1, : n_chunks - 1, :])
+        main = main.reshape(b, -1, hop)
+    return main.reshape(b, -1)[:, : rows * hop]
 
 
 def synthesis_ola_pallas(spec_re, spec_im, kc, ks, hop, highest: bool):
@@ -584,14 +628,28 @@ def synthesis_ola_pallas(spec_re, spec_im, kc, ks, hop, highest: bool):
             and spec_re.dtype == jnp.float32):
         return None
     f = kc.shape[0]
-    tile_f = 256 if f >= 256 else -(-f // 8) * 8
-    tile_r = 256
     n_chunks = n_fft // hop
-    slab_cols = -(-(tile_r + n_chunks - 1) // 128) * 128
-    vmem = (2 * 2 * tile_f * n_fft + 2 * tile_f * slab_cols
-            + 2 * tile_r * hop) * 4
-    if vmem > _VMEM_BUDGET:
-        return None
-    return _synthesis_ola(spec_re, spec_im, jnp.asarray(kc, jnp.float32),
-                          jnp.asarray(ks, jnp.float32), hop, tile_r, tile_f,
-                          highest)
+    ebytes = 4 if highest else 2
+    budget = _VMEM_BUDGET_HIGHEST if highest else _VMEM_BUDGET
+    f_padded = f + (-f % 128)
+    candidates = []
+    if not highest:
+        # full-F single step: bf16 kernel banks resident, no frame-block
+        # accumulator round-trips (measured fastest when it fits)
+        candidates += [(tile_r, f_padded) for tile_r in (256, 128)]
+    candidates += [(tile_r, min(128, -(-f // 8) * 8))
+                   for tile_r in (256, 128)]
+    for tile_r, tile_f in candidates:
+        single = tile_f == f_padded
+        fblk = 0 if single else tile_r * n_fft * 4
+        # kernel-bank blocks: double-buffered unless the index map is
+        # constant (single f tile — Pallas elides the second buffer)
+        kernels = (2 if single else 4) * tile_f * n_fft * ebytes
+        slabs = 2 * tile_f * tile_r * ebytes
+        outs = 2 * (tile_r + 8) * hop * 4
+        if fblk + kernels + slabs + outs <= budget:
+            return _synthesis_ola(spec_re, spec_im,
+                                  jnp.asarray(kc, jnp.float32),
+                                  jnp.asarray(ks, jnp.float32), hop, tile_r,
+                                  tile_f, highest)
+    return None
