@@ -72,6 +72,12 @@ def _plan(b, n_fft, f, t_total, hop, highest, n_out=1, n_mels=0):
     tile_f = min(128, -(-f // 128) * 128)
     ebytes = 4 if highest else 2
     mpad = n_mels + (-n_mels % 128) if n_mels else 0
+    # single-f-tile grids (F <= 128, e.g. CQT banks) keep a constant basis
+    # block index, which Pallas single-buffers (observed empirically) —
+    # halves the basis bill and lets giant-kernel CQTs (n_chunks*w ~ 12k)
+    # stay fused in fast mode
+    f_tiles = (f + (-f % tile_f)) // tile_f
+    basis_buf = 1 if f_tiles == 1 else 2
     for tile_t in (512, 256, 128):
         tile_t = min(tile_t, -(-t_total // 8) * 8)
         for bb in (8, 4, 2, 1):
@@ -82,7 +88,7 @@ def _plan(b, n_fft, f, t_total, hop, highest, n_out=1, n_mels=0):
             slab_rows = -(-(tile_t + (n_chunks - 1) * q) // 8) * 8
             slab = bb * slab_rows * w * ebytes
             frame = bb * tile_t * (n_chunks * w) * ebytes
-            bases = 2 * 2 * (n_chunks * w) * tile_f * ebytes
+            bases = 2 * basis_buf * (n_chunks * w) * tile_f * ebytes
             outs = 2 * n_out * bb * tile_t * tile_f * 4
             extra = 0
             if n_mels:
@@ -91,6 +97,11 @@ def _plan(b, n_fft, f, t_total, hop, highest, n_out=1, n_mels=0):
                          + 2 * bb * tile_t * mpad * 4)
                 outs = 0  # the fb output replaces the pair outputs
             budget = _VMEM_BUDGET_HIGHEST if highest else _VMEM_BUDGET
+            if not highest and f_tiles == 1 and n_chunks >= 16:
+                # giant single-bank case (CQT wavelets, n_fft ~16k): no
+                # multi-tile churn, bf16 (no emulation stack) — the extra
+                # ~1.5MB headroom is safe and keeps the bank fused
+                budget = int(13.5 * 1024 * 1024)
             if highest and n_out == 2:
                 # the second output adds ~1MB of store/transpose stack the
                 # bill can't see (measured 16.2MB scoped vs 10.4MB billed)
