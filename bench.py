@@ -98,6 +98,12 @@ def tpu_metrics() -> dict[str, float]:
                                   n_mels=128, verbose=False)
     mp = dict(mel._params)
     out["mel"] = AUDIO_S / _timeit(lambda xx: mel._forward(mp, xx), x)
+    with fast_mode():
+        melf = features.MelSpectrogram(sr=SR, n_fft=N_FFT, hop_length=HOP,
+                                       n_mels=128, verbose=False)
+        mpf = dict(melf._params)
+        out["mel_fast"] = AUDIO_S / _timeit(
+            lambda xx: melf._forward(mpf, xx), x)
 
     mf = features.MFCC(sr=SR, n_mfcc=20, verbose=False)
     fp = dict(mf._params)
@@ -109,6 +115,13 @@ def tpu_metrics() -> dict[str, float]:
     out["cqt1992v2"] = AUDIO_S / _timeit(
         lambda xx: q._forward(qp, xx, output_format="Magnitude",
                               normalization_type="librosa"), x)
+    with fast_mode():
+        qf = features.CQT1992v2(sr=SR, hop_length=HOP, n_bins=84,
+                                bins_per_octave=12, verbose=False)
+        qfp = dict(qf._params)
+        out["cqt1992v2_fast"] = AUDIO_S / _timeit(
+            lambda xx: qf._forward(qfp, xx, output_format="Magnitude",
+                                   normalization_type="librosa"), x)
 
     vq = features.VQT(sr=SR, hop_length=HOP, n_bins=84, bins_per_octave=12,
                       gamma=2, verbose=False)
@@ -281,13 +294,19 @@ def reference_metrics(ref_feat, torch) -> dict[str, float]:
         opt.step()
 
     attempt("train_step", build_train, run_train, iters=1, grad=True)
+    # fast-mode rows compare against the same fp32 reference (it has none)
+    for key in ("mel", "cqt1992v2"):
+        if key in out:
+            out[key + "_fast"] = out[key]
     return out
 
 
 NAMES = {
     "mel": "mel_spectrogram_throughput_n2048_h512_128mels",
+    "mel_fast": "mel_spectrogram_fast_bf16_throughput_128mels",
     "mfcc": "mfcc_throughput_20",
     "cqt1992v2": "cqt1992v2_throughput_84bins",
+    "cqt1992v2_fast": "cqt1992v2_fast_bf16_throughput_84bins",
     "vqt": "vqt_throughput_84bins_gamma2",
     "istft": "istft_throughput_n2048_h512",
     "griffin_lim": "griffin_lim_throughput_32iters",

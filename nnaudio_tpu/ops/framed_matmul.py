@@ -18,15 +18,17 @@ CQT-pyramid lower octaves (256/128/64/32). Grid is
 - the ``(bb, slab_rows, w)`` signal slab covering ``bb`` batch items' time
   tile is DMA'd manually from HBM into persistent VMEM scratch **once per
   (batch-block, time tile)** (slabs of neighbouring tiles overlap, which
-  BlockSpec block indexing cannot express) and reused across all frequency
-  tiles;
+  BlockSpec block indexing cannot express), and a ``(bb, tile_t,
+  n_chunks*w)`` frame block is assembled from it right there — the
+  sublane-misaligned chunk shifts happen once per time tile. (The round-1
+  kernel re-sliced the slab inside every frequency step; those per-step VPU
+  shift passes, not the MXU or HBM, capped fast mode at ~44% of this chip's
+  measured matmul peak — measured, batch-blocking the basis stream alone
+  moved it only 25.7 -> 27 TFLOP/s, the frame block moved it to 34.4);
 - the transposed bases stream through BlockSpec-managed
   ``(n_chunks*w, tile_f)`` VMEM blocks (auto double-buffered by the
-  pipeline); batch-blocking amortizes that stream over ``bb`` items' compute
-  — the round-1 kernel re-streamed both bases once per *single-item* time
-  tile, which capped fast mode at ~44% of this chip's measured matmul peak;
-- each step accumulates ``bb x n_chunks`` MXU matmuls — no frame matrix is
-  ever formed, in VMEM or HBM;
+  pipeline); each frequency step is then pure aligned MXU work over the
+  resident frame block — no frame matrix ever exists in HBM;
 - fast (bf16) mode stores slab and bases in bf16: the MXU's DEFAULT
   precision rounds fp32 operands to bf16 anyway, so this halves HBM/VMEM
   traffic at identical numerics;
