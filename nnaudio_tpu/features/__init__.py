@@ -5,6 +5,9 @@ every feature module): all transforms are importable both from here and from
 the deprecated ``nnaudio_tpu.Spectrogram`` shim.
 """
 from .base import SpectralTransform
+# the reference exposes its nn.Module base as STFTBase (stft.py:15) — alias
+# kept so isinstance checks / subclass imports port
+STFTBase = SpectralTransform
 from .stft import STFT, iSTFT
 from .mel import MelSpectrogram, MFCC
 from .gammatone import Gammatonegram
@@ -20,6 +23,7 @@ from ..compat import __all__ as _compat_all
 
 __all__ = [
     "SpectralTransform",
+    "STFTBase",
     "STFT",
     "iSTFT",
     "MelSpectrogram",
