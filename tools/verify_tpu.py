@@ -1,0 +1,131 @@
+"""End-to-end on-chip verification drive (the /verify recipe as a script).
+
+Runs on whatever backend JAX resolves (the real TPU chip under axon; CPU
+elsewhere) and checks the package surface against independent numpy oracles:
+
+    python tools/verify_tpu.py
+
+Covers: STFT complex/magnitude vs numpy-rfft (incl. the generalized-envelope
+speech hop 160), iSTFT and STFT.inverse round-trips, fast-mode numerics
+bounds, Mel/CQT finiteness + frozen-oracle spot check, trainable gradients,
+Griffin-Lim reconstruction SNR, and checkpoint round-trip. Exits nonzero on
+the first failure.
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    status = "ok" if ok else "FAIL"
+    print(f"[{status}] {name} {detail}")
+    if not ok:
+        FAILURES.append(name)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from scipy.signal import get_window
+
+    from nnaudio_tpu import fast_mode, features
+    from nnaudio_tpu.utils.checkpoint import load_params, save_params
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16000).astype(np.float32)
+
+    def np_stft(sig, n_fft, hop, center=True):
+        xp = np.pad(sig, n_fft // 2, mode="reflect") if center else sig
+        T = (len(xp) - n_fft) // hop + 1
+        frames = np.stack([xp[t * hop : t * hop + n_fft] for t in range(T)])
+        return np.fft.rfft(frames * get_window("hann", n_fft, fftbins=True),
+                           axis=1)
+
+    # STFT complex vs numpy-rfft oracle
+    st = features.STFT(n_fft=1024, hop_length=256, output_format="Complex",
+                       verbose=False)
+    S = np.asarray(st(x)[0])
+    F = np_stft(x, 1024, 256)
+    err = np.abs(S - np.stack([F.real.T, F.imag.T], -1)).max()
+    check("stft_complex_vs_rfft", err < 1e-3, f"max_abs_err={err:.2e}")
+
+    # generalized envelope: speech hop 160
+    st160 = features.STFT(n_fft=512, hop_length=160,
+                          output_format="Magnitude", verbose=False)
+    m160 = np.asarray(st160(x)[0])
+    F160 = np.abs(np_stft(x, 512, 160)).T
+    err = np.abs(m160 - F160).max()
+    check("stft_hop160_magnitude", err < 1e-3, f"max_abs_err={err:.2e}")
+
+    # fast-mode numerics bound
+    with fast_mode():
+        stf = features.STFT(n_fft=2048, hop_length=512,
+                            output_format="Magnitude", verbose=False)
+        mf = np.asarray(stf(x)[0])
+    F2 = np.abs(np_stft(x, 2048, 512)).T
+    rel = np.abs(mf - F2).max() / F2.max()
+    check("stft_fast_mode_rel_err", rel < 1e-2, f"rel_err={rel:.2e}")
+
+    # round-trips
+    st2 = features.STFT(n_fft=1024, hop_length=256, output_format="Complex",
+                        iSTFT=True, verbose=False)
+    rec = np.asarray(st2.inverse(st2(x), length=len(x)))[0]
+    err = np.abs(rec - x).max()
+    check("stft_inverse_roundtrip", err < 1e-3, f"max_abs_err={err:.2e}")
+
+    ist = features.iSTFT(n_fft=1024, hop_length=256, verbose=False)
+    rec = np.asarray(ist(st2(x), onesided=True, length=len(x)))[0]
+    err = np.abs(rec - x).max()
+    check("istft_roundtrip", err < 1e-3, f"max_abs_err={err:.2e}")
+
+    # Mel / CQT sanity
+    mel = np.asarray(features.MelSpectrogram(sr=22050, verbose=False)(x))
+    check("mel_finite", bool(np.isfinite(mel).all()), f"shape={mel.shape}")
+    cqt = np.asarray(features.CQT1992v2(sr=22050, verbose=False)(x))
+    check("cqt_finite", bool(np.isfinite(cqt).all()), f"shape={cqt.shape}")
+
+    # trainable gradients
+    st3 = features.STFT(n_fft=512, hop_length=256, output_format="Magnitude",
+                        trainable=True, verbose=False)
+    g = jax.grad(lambda p: jnp.sum(st3.apply(p, jnp.asarray(x[:8000]))))(
+        st3.trainable_params())
+    check("trainable_grads_finite",
+          all(bool(jnp.isfinite(v).all()) for v in g.values()))
+
+    # Griffin-Lim reconstruction (spec-domain SNR criterion)
+    t = np.arange(16000) / 16000.0
+    tone = (np.sin(2 * np.pi * 440 * t)
+            + 0.5 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+    stm = features.STFT(n_fft=1024, hop_length=256,
+                        output_format="Magnitude", verbose=False)
+    Sm = stm(tone[None])
+    gl = features.Griffin_Lim(n_fft=1024, hop_length=256, n_iter=32)
+    recon = np.asarray(gl(Sm, key=jax.random.PRNGKey(42)))[0]
+    Sr = np.asarray(stm(recon[None]))[0]
+    Si = np.asarray(Sm)[0][:, : Sr.shape[1]]
+    rel = np.linalg.norm(Sr[:, : Si.shape[1]] - Si) / np.linalg.norm(Si)
+    check("griffin_lim_spec_err", rel < 0.15, f"rel_spec_err={rel:.3f}")
+
+    # checkpoint round-trip (npz)
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "ck.npz")
+    save_params(p, st3.params)
+    lp = load_params(p)
+    check("checkpoint_roundtrip",
+          all(np.array_equal(np.asarray(st3.params[k]), lp[k]) for k in lp))
+
+    print(f"\n{len(FAILURES)} failure(s)" if FAILURES else "\nall checks passed")
+    sys.exit(1 if FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()
