@@ -410,6 +410,14 @@ def _framed_filterbank(x, wcos_t, wsin_t, fb_t, hop, w, q, n_chunks, tile_t,
     return out[:, :n_mels, :t_total]
 
 
+# Mosaic kernels compile in ~60-90 s through the remote helper (vs ~2 s for
+# the XLA path) and the fused win only matters when there is real work to
+# amortize dispatch over. Below this many total output frames the XLA path
+# is used — production-sized batches (the only place the kernel's ~1.3-2x
+# matters) clear it by orders of magnitude.
+_MIN_FUSED_FRAMES = 1024
+
+
 def _get_plan(x, wcos, hop, highest, n_out=1, n_mels=0):
     n_fft = wcos.shape[-1]
     length = x.shape[-1]
@@ -417,6 +425,8 @@ def _get_plan(x, wcos, hop, highest, n_out=1, n_mels=0):
             and length >= n_fft):
         return None
     t_total = (length - n_fft) // hop + 1
+    if x.shape[0] * t_total < _MIN_FUSED_FRAMES:
+        return None
     return _plan(x.shape[0], n_fft, wcos.shape[0], t_total, hop, highest,
                  n_out=n_out, n_mels=n_mels)
 
@@ -640,6 +650,8 @@ def synthesis_ola_pallas(spec_re, spec_im, kc, ks, hop, highest: bool):
     if not (hop > 0 and n_fft % hop == 0 and hop % 128 == 0
             and spec_re.dtype == jnp.float32):
         return None
+    if spec_re.shape[0] * spec_re.shape[2] < _MIN_FUSED_FRAMES:
+        return None  # see _MIN_FUSED_FRAMES: XLA compiles 40x faster
     f = kc.shape[0]
     n_chunks = n_fft // hop
     ebytes = 4 if highest else 2

@@ -29,6 +29,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 import pytest
 
+# the fused-kernel work gate exists to keep tiny TPU workloads on the
+# fast-compiling XLA path; interpret-mode kernel tests use tiny inputs
+# deliberately, so disable it for the suite
+from nnaudio_tpu.ops import framed_matmul as _fm
+
+_fm._MIN_FUSED_FRAMES = 0
+
 REFERENCE_GT = "/root/reference/Installation/tests/ground-truths"
 
 

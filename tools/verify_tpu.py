@@ -56,13 +56,16 @@ def main():
     err = np.abs(S - np.stack([F.real.T, F.imag.T], -1)).max()
     check("stft_complex_vs_rfft", err < 1e-3, f"max_abs_err={err:.2e}")
 
-    # generalized envelope: speech hop 160
+    # generalized envelope: speech hop 160 — batched past the fused-kernel
+    # work gate (>=1024 total frames) so this drives the Pallas repack path
+    xb = rng.standard_normal((8, 32000)).astype(np.float32)
     st160 = features.STFT(n_fft=512, hop_length=160,
                           output_format="Magnitude", verbose=False)
-    m160 = np.asarray(st160(x)[0])
-    F160 = np.abs(np_stft(x, 512, 160)).T
-    err = np.abs(m160 - F160).max()
-    check("stft_hop160_magnitude", err < 1e-3, f"max_abs_err={err:.2e}")
+    m160 = np.asarray(st160(xb))
+    errs = [np.abs(m160[i] - np.abs(np_stft(xb[i], 512, 160)).T).max()
+            for i in (0, 7)]
+    err = max(errs)
+    check("stft_hop160_magnitude_fused", err < 1e-3, f"max_abs_err={err:.2e}")
 
     # fast-mode numerics bound
     with fast_mode():
