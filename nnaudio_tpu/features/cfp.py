@@ -152,13 +152,19 @@ class Combined_Frequency_Periodicity(SpectralTransform):
 
     # ------------------------------------------------------------- helpers --
     def _nonlinear(self, X, g: float, cutoff: int):
-        """relu^g (or log) with the leading-cutoff mask, in half-spectrum
-        space: the reference's trailing ``[-cutoff:]`` zeros are the mirror
-        of bins ``[1:cutoff+1)`` — already represented by the leading mask
-        through the Hermitian fold."""
-        mask = np.ones(X.shape[-1], dtype=np.float32)
-        if int(cutoff) > 0:
-            mask[: int(cutoff)] = 0.0
+        """relu^g (or log) with the reference's cutoff mask expressed in
+        half-spectrum space: full bin ``m`` is zeroed when ``m < cutoff`` or
+        ``m >= N - cutoff``; the trailing zeros are mirrors of bins
+        ``[1:cutoff+1)`` handled by the Hermitian fold, EXCEPT that for
+        ``cutoff >= N/2`` the trailing range reaches into the stored half
+        (e.g. bin N/2 at cutoff == N/2), so the exact membership test is
+        used rather than the leading mask alone."""
+        c = int(cutoff)
+        m = np.arange(X.shape[-1])
+        if c > 0:
+            mask = ((m >= c) & (m < self.N - c)).astype(np.float32)
+        else:
+            mask = np.ones(X.shape[-1], dtype=np.float32)
         mask = jnp.asarray(mask, X.dtype)
         if g != 0:
             return (jnp.maximum(X, 0.0) * mask) ** g * mask

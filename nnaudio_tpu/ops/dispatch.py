@@ -213,8 +213,10 @@ def synthesis_ola(spec_re, spec_im, kc, ks, hop):
     tensor kept in VMEM on TPU. ``kc``/``ks`` carry window, 1/n_fft and
     Hermitian-fold weights; the op computes ``OLA(kc^T Re - ks^T Im)``."""
     cfg = get_config()
+    # auto mode enables the bf16-storage kernel only at "default" precision:
+    # tensorfloat32 asks for ~1e-4 numerics and must keep the fp32 XLA path
     use_syn = (cfg.use_pallas_synthesis if cfg.use_pallas_synthesis is not None
-               else cfg.matmul_precision != "highest")
+               else cfg.matmul_precision == "default")
     if on_tpu() and cfg.use_pallas and use_syn:
         from .framed_matmul import synthesis_ola_pallas
 

@@ -648,7 +648,8 @@ def synthesis_ola_pallas(spec_re, spec_im, kc, ks, hop, highest: bool):
     configuration is outside the kernel envelope."""
     n_fft = kc.shape[1]
     if not (hop > 0 and n_fft % hop == 0 and hop % 128 == 0
-            and spec_re.dtype == jnp.float32):
+            and spec_re.dtype == jnp.float32
+            and n_fft // hop <= 9):  # tail block holds n_chunks-1 <= 8 rows
         return None
     if spec_re.shape[0] * spec_re.shape[2] < _MIN_FUSED_FRAMES:
         return None  # see _MIN_FUSED_FRAMES: XLA compiles 40x faster

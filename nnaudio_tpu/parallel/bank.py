@@ -96,7 +96,9 @@ def contraction_sharded_cqt1992(transform, mesh: Mesh, axis: str = "model",
     from ..core.frame import pad_signal
     from ..config import dot_precision
     from ..core.apply import phase_unit_stack
-    from ..features.cqt import _cqt_output
+    from ..features.cqt import _check_norm_type, _cqt_output
+
+    _check_norm_type(normalization_type)
 
     n = mesh.shape[axis]
     p = dict(transform.params)

@@ -65,7 +65,8 @@ def pad_to_bucket(signals: Sequence[np.ndarray],
         lengths = np.minimum(lengths, target)
     batch = np.zeros((len(signals), target), dtype=np.float32)
     for i, s in enumerate(signals):
-        batch[i, : lengths[i]] = np.asarray(s, dtype=np.float32)[..., :target][..., : lengths[i]]
+        # lengths are already clamped to the bucket, so one slice suffices
+        batch[i, : lengths[i]] = np.asarray(s, dtype=np.float32)[..., : lengths[i]]
     return jnp.asarray(batch), jnp.asarray(lengths)
 
 

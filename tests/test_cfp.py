@@ -1,5 +1,8 @@
 """CFP correctness against an independent numpy fp64 oracle.
 
+Includes the cutoff == N/2 edge (round-2 review): the reference's trailing
+mask reaches bin N/2 there, which the half-spectrum chain must zero too.
+
 The reference's frozen ``cfp_new.pt`` is a torch pickle of its own output;
 instead of deserializing it we re-derive the CFP math end-to-end in numpy
 (window, full-DFT magnitudes, alternating relu^g / real-FFT layers with index
@@ -81,6 +84,24 @@ def test_combined_frequency_periodicity_vs_oracle():
     assert np.allclose(np.asarray(LF)[0], LF_ref, rtol=1e-2, atol=1e-4)
     assert np.allclose(np.asarray(LQ)[0], LQ_ref, rtol=1e-2, atol=1e-4)
     assert np.allclose(np.asarray(Z)[0], Z_ref, rtol=1e-2, atol=1e-4)
+
+
+def test_cfp_cutoff_mask_half_spectrum_semantics():
+    """The half-spectrum cutoff mask must replicate the reference's exact
+    membership (zero m < c OR m >= N - c) — including the edge c == N/2
+    where the trailing range reaches bin N/2 itself (round-2 review
+    finding; unreachable through the public fc/tc surface, which constrains
+    cutoffs away from Nyquist, but the helper must stay exact)."""
+    layer = features.CFP()
+    N, half = layer.N, layer.half
+    v = np.ones((1, 1, half), np.float32)
+    for c in (0, 1, 16, N // 4, N // 2 - 1, N // 2):
+        out = np.asarray(layer._nonlinear(v, 1.0, c))[0, 0]
+        full_mask = np.ones(N)
+        if c > 0:
+            full_mask[:c] = 0
+            full_mask[-c:] = 0
+        assert np.array_equal(out, full_mask[:half].astype(np.float32)), c
 
 
 def test_cfp_timestep_alignment():

@@ -183,6 +183,43 @@ def test_pallas_synthesis_ola_interpreted():
                        atol=5e-2 * float(jnp.abs(want).max()))
 
 
+def test_pallas_synthesis_many_chunks_gate():
+    """n_chunks = n_fft/hop > 9 overflows the 8-row tail block: the envelope
+    must return None (XLA fallback), not crash at trace (round-2 review)."""
+    rng = np.random.RandomState(20)
+    sre = jnp.asarray(rng.randn(8, 1025, 200).astype(np.float32))
+    sim = jnp.asarray(rng.randn(8, 1025, 200).astype(np.float32))
+    kc = jnp.asarray(rng.randn(1025, 2048).astype(np.float32))
+    ks = jnp.asarray(rng.randn(1025, 2048).astype(np.float32))
+    assert framed_matmul.synthesis_ola_pallas(sre, sim, kc, ks, 128,
+                                              highest=True) is None
+
+
+def test_pallas_synthesis_nine_chunks_interpreted():
+    """The largest in-envelope overlap (n_chunks=9... nearest valid: 8 with
+    hop=128/n_fft=1024): multi-tile tail folding across row-tile boundaries."""
+    from nnaudio_tpu.core.frame import frames_to_signal as f2s
+
+    n_fft, hop, F, B, T = 1024, 128, 513, 2, 300
+    rng = np.random.RandomState(21)
+    sre = jnp.asarray(rng.randn(B, F, T).astype(np.float32))
+    sim = jnp.asarray(rng.randn(B, F, T).astype(np.float32))
+    kc = jnp.asarray(rng.randn(F, n_fft).astype(np.float32) * 0.01)
+    ks = jnp.asarray(rng.randn(F, n_fft).astype(np.float32) * 0.01)
+    framed_matmul._INTERPRET = True
+    try:
+        got = framed_matmul.synthesis_ola_pallas(sre, sim, kc, ks, hop,
+                                                 highest=True)
+    finally:
+        framed_matmul._INTERPRET = False
+    assert got is not None
+    HI = jax.lax.Precision.HIGHEST
+    frames = (jnp.einsum("fj,bft->btj", kc, sre, precision=HI)
+              - jnp.einsum("fj,bft->btj", ks, sim, precision=HI))
+    want = f2s(frames, hop, n_fft + hop * (T - 1))
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-4), np.abs(got - want).max()
+
+
 def test_synthesis_ola_custom_vjp():
     from nnaudio_tpu.filters.fourier import create_fourier_basis
 
