@@ -122,16 +122,16 @@ class Griffin_Lim(SpectralTransform):
         self._register("window_mask", w)
 
     # --------------------------------------------------------------- graph --
-    def _istft(self, params, spec_ri, w_sum):
-        """(B, F, T, 2) torch-convention complex -> (B, (T-1)*hop) waveform.
-
-        ``w_sum`` (the overlap-added window-sumsquare envelope) is computed
-        once by the caller — inside the Griffin-Lim fixed-point loop it is
-        iteration-invariant, and ``fori_loop`` bodies cannot hoist it."""
-        X = spec_ri  # onesided; Hermitian fold baked into the kernels
+    def _istft_planar(self, params, spec_re, spec_im, w_sum):
+        """Planar (B, F, T) re/im variant of :meth:`_istft` — the loop keeps
+        real and imaginary parts as separate arrays: the torch-convention
+        ``(..., 2)`` stack puts 2 elements in the 128-lane minor dim, and
+        every elementwise pass over it runs at ~2% lane utilization
+        (measured: the momentum+normalize step alone cost 3.3 ms/iter in
+        stacked form)."""
         w = params["window_mask"][None, :] / self.n_fft
         signal = synthesis_ola(
-            X[..., 0], X[..., 1],
+            spec_re, spec_im,
             params["kernel_cos_inv"] * w, params["kernel_sin_inv"] * w,
             self.hop_length,
         )
@@ -140,35 +140,31 @@ class Griffin_Lim(SpectralTransform):
             return signal[:, self.pad_amount : -self.pad_amount]
         return signal
 
-    def _stft(self, params, x):
-        """(B, L) -> (B, F, T, 2) torch-convention complex stack."""
-        if self.center:
-            x = pad_signal(x, self.pad_amount, self.pad_mode)
-        real, imag_raw = framed_basis_pair(
-            x, params["wcos"], params["wsin"], self.hop_length
-        )
-        return jnp.stack((real, -imag_raw), axis=-1)
-
     def _forward(self, params, S, key=None):
         if key is None:
             key = jax.random.PRNGKey(0)
         b, f, t = S.shape
         rand_phase = jax.random.normal(key, (b, f, t))
-        angles = jnp.stack(
-            (jnp.cos(2 * np.pi * rand_phase), jnp.sin(2 * np.pi * rand_phase)), axis=-1
-        )
+        a_re = jnp.cos(2 * np.pi * rand_phase)
+        a_im = jnp.sin(2 * np.pi * rand_phase)
         mom = self.momentum / (1 + self.momentum)
         w_sum = window_sumsquare(
             params["window_mask"], t, self.hop_length, self.n_fft
         )
 
         def body(_, carry):
-            angles, rebuilt_prev = carry
-            inverse = self._istft(params, S[..., None] * angles, w_sum)
-            rebuilt = self._stft(params, inverse)
-            new_angles = rebuilt - mom * rebuilt_prev
-            norm = jnp.sqrt(jnp.sum(new_angles ** 2, axis=-1, keepdims=True)) + 1e-16
-            return new_angles / norm, rebuilt
+            a_re, a_im, p_re, p_im = carry
+            inverse = self._istft_planar(params, S * a_re, S * a_im, w_sum)
+            if self.center:
+                inverse = pad_signal(inverse, self.pad_amount, self.pad_mode)
+            r_re, r_im_raw = framed_basis_pair(
+                inverse, params["wcos"], params["wsin"], self.hop_length
+            )
+            r_im = -r_im_raw
+            n_re = r_re - mom * p_re
+            n_im = r_im - mom * p_im
+            norm = jnp.sqrt(n_re * n_re + n_im * n_im) + 1e-16
+            return n_re / norm, n_im / norm, r_re, r_im
 
         # trace the loop body at iter_precision (without ever raising the
         # ambient setting); the final synthesis below re-traces at ambient
@@ -178,12 +174,13 @@ class Griffin_Lim(SpectralTransform):
         if prev == "highest" and self.iter_precision == "default":
             set_matmul_precision("default")
         try:
-            angles, _ = jax.lax.fori_loop(
-                0, self.n_iter, body, (angles, jnp.zeros_like(angles))
+            a_re, a_im, _, _ = jax.lax.fori_loop(
+                0, self.n_iter, body,
+                (a_re, a_im, jnp.zeros_like(a_re), jnp.zeros_like(a_im)),
             )
         finally:
             set_matmul_precision(prev)
-        return self._istft(params, S[..., None] * angles, w_sum)
+        return self._istft_planar(params, S * a_re, S * a_im, w_sum)
 
     def __call__(self, S, key=None):
         return self.apply(None, S, key=key)
