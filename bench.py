@@ -161,8 +161,10 @@ def tpu_metrics() -> dict[str, float]:
         return jnp.mean((pred - y_true) ** 2)
 
     def train_loop_py(p, xx):
+        # 8 in-graph steps amortize the ~25ms tunnel dispatch roundtrip
+        # (4 steps left the metric roundtrip-floored and precision-blind)
         acc = 0.0
-        for _ in range(4):
+        for _ in range(8):
             l, g = jax.value_and_grad(loss_fn)(p, xx * (1 + acc * 1e-20))
             p = jax.tree_util.tree_map(lambda a, b: a - 1e-3 * b, p, g)
             acc = acc + l
@@ -177,7 +179,7 @@ def tpu_metrics() -> dict[str, float]:
             a, _ = train_loop(params0, x)
             float(a)
             times.append(time.perf_counter() - t0)
-        return AUDIO_S / (min(times) / 4)
+        return AUDIO_S / (min(times) / 8)
 
     out["train_step"] = time_train(jax.jit(train_loop_py))
     with fast_mode():

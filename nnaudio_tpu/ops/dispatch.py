@@ -128,13 +128,21 @@ def framed_power(x, wcos, wsin, hop):
     return real * real + imag * imag
 
 
+# Differentiated forwards save the real/imag pair as residuals and skip the
+# fused Pallas kernel: under jax.grad the backward needs the pair anyway,
+# and measured on-chip the XLA pair (shared between fwd and bwd) beats
+# fused-fwd + recompute (5.6 vs 6.7 ms per value_and_grad step at the
+# headline config, fast mode). Inference keeps the fused primal path —
+# custom_vjp fwd rules only run under differentiation.
+
+
 def _pow_fwd(x, wcos, wsin, hop):
-    return framed_power(x, wcos, wsin, hop), (x, wcos, wsin)
+    real, imag = _xla_pair(x, wcos, wsin, hop)
+    return real * real + imag * imag, (x, wcos, wsin, real, imag)
 
 
 def _pow_bwd(hop, res, g):
-    x, wcos, wsin = res
-    real, imag = _xla_pair(x, wcos, wsin, hop)
+    x, wcos, wsin, real, imag = res
     return _bwd(hop, (x, wcos, wsin), (2 * g * real, 2 * g * imag))
 
 
@@ -165,12 +173,17 @@ def framed_filterbank(x, wcos, wsin, fb, hop, eps=0.0):
 
 
 def _fb_fwd(x, wcos, wsin, fb, hop, eps):
-    return framed_filterbank(x, wcos, wsin, fb, hop, eps), (x, wcos, wsin, fb)
+    real, imag = _xla_pair(x, wcos, wsin, hop)
+    power = real * real + imag * imag
+    if eps:
+        power = power + eps
+    out = jnp.einsum("gf,bft->bgt", fb, power, precision=dot_precision(),
+                     preferred_element_type=jnp.float32)
+    return out, (x, wcos, wsin, fb, real, imag)
 
 
 def _fb_bwd(hop, eps, res, g):
-    x, wcos, wsin, fb = res
-    real, imag = _xla_pair(x, wcos, wsin, hop)
+    x, wcos, wsin, fb, real, imag = res
     prec = dot_precision()
     power = real * real + imag * imag
     if eps:
@@ -189,15 +202,18 @@ framed_filterbank.defvjp(_fb_fwd, _fb_bwd)
 
 
 def _mag_fwd(x, wcos, wsin, hop, eps):
-    out = framed_magnitude(x, wcos, wsin, hop, eps)
-    return out, (x, wcos, wsin, out)
+    real, imag = _xla_pair(x, wcos, wsin, hop)
+    power = real * real + imag * imag
+    if eps:
+        power = power + eps
+    out = jnp.sqrt(power)
+    return out, (x, wcos, wsin, real, imag, out)
 
 
 def _mag_bwd(hop, eps, res, g):
     # d|z|/dre = re/|z| (with the +eps regularizer |z| stays bounded away
     # from 0 when eps > 0, matching the reference's trainable-mode 1e-8)
-    x, wcos, wsin, mag = res
-    real, imag = _xla_pair(x, wcos, wsin, hop)
+    x, wcos, wsin, real, imag, mag = res
     safe = jnp.where(mag > 0, mag, 1.0)
     scale = g / safe
     return _bwd(hop, (x, wcos, wsin), (scale * real, scale * imag))
@@ -277,27 +293,25 @@ def _bwd(hop, res, grads):
         need = rows * hop
         xp = jnp.pad(x, ((0, 0), (0, max(0, need - length))))
         x2 = xp[:, :need].reshape(b, rows, hop)
-        d_wcos = jnp.zeros_like(wcos)
-        d_wsin = jnp.zeros_like(wsin)
-        d_x2 = jnp.zeros((b, rows, hop), jnp.float32)
-        for c in range(n_chunks):
-            chunk = x2[:, c : c + t_total, :]  # (B, T, hop)
-            sl = slice(c * hop, (c + 1) * hop)
-            d_wcos = d_wcos.at[:, sl].add(
-                jnp.einsum("bft,bth->fh", g_real, chunk, precision=prec,
-                           preferred_element_type=jnp.float32).astype(wcos.dtype))
-            d_wsin = d_wsin.at[:, sl].add(
-                jnp.einsum("bft,bth->fh", g_imag, chunk, precision=prec,
-                           preferred_element_type=jnp.float32).astype(wsin.dtype))
-            d_chunk = jnp.einsum("bft,fh->bth", g_real, wcos[:, sl], precision=prec,
-                                 preferred_element_type=jnp.float32)
-            d_chunk = d_chunk + jnp.einsum("bft,fh->bth", g_imag, wsin[:, sl],
-                                           precision=prec,
-                                           preferred_element_type=jnp.float32)
-            d_x2 = d_x2.at[:, c : c + t_total, :].add(d_chunk)
-        d_x = d_x2.reshape(b, need)[:, :length].astype(x.dtype)
-        if need < length:
-            d_x = jnp.pad(d_x, ((0, 0), (0, length - need)))
+        # dW columns for the chunks are DISJOINT: one einsum per chunk,
+        # concatenated — no scatter/.at[].add accumulation passes
+        d_wcos = jnp.concatenate([
+            jnp.einsum("bft,bth->fh", g_real, x2[:, c : c + t_total, :],
+                       precision=prec, preferred_element_type=jnp.float32)
+            for c in range(n_chunks)
+        ], axis=1).astype(wcos.dtype)
+        d_wsin = jnp.concatenate([
+            jnp.einsum("bft,bth->fh", g_imag, x2[:, c : c + t_total, :],
+                       precision=prec, preferred_element_type=jnp.float32)
+            for c in range(n_chunks)
+        ], axis=1).astype(wsin.dtype)
+        # dx is the OLA-adjoint of the cotangent spectra projected onto the
+        # bases — exactly the synthesis op (which has its own fused TPU
+        # kernel): frames_t = wcos^T g_real[:,t] + wsin^T g_imag[:,t]
+        d_x = synthesis_ola(g_real, -g_imag, wcos, wsin, hop)
+        d_x = d_x[:, :length].astype(x.dtype)
+        if d_x.shape[1] < length:
+            d_x = jnp.pad(d_x, ((0, 0), (0, length - d_x.shape[1])))
         return d_x, d_wcos, d_wsin
 
     frames = frame_signal(x, n_fft, hop)  # (B, T, N)
