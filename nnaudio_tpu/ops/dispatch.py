@@ -92,7 +92,7 @@ def framed_magnitude(x, wcos, wsin, hop, eps=0.0):
     the headline STFT config. Elsewhere (or outside the kernel envelope) it
     falls back to the pair + elementwise magnitude."""
     cfg = get_config()
-    if on_tpu() and cfg.use_pallas:
+    if on_tpu() and cfg.use_pallas and cfg.matmul_precision != "tensorfloat32":
         from .framed_matmul import framed_magnitude_pallas
 
         out = framed_magnitude_pallas(
@@ -115,7 +115,7 @@ def framed_power(x, wcos, wsin, hop):
     MelSpectrogram's default ``power=2.0`` squares the magnitude right after
     the sqrt — this op skips both elementwise passes entirely."""
     cfg = get_config()
-    if on_tpu() and cfg.use_pallas:
+    if on_tpu() and cfg.use_pallas and cfg.matmul_precision != "tensorfloat32":
         from .framed_matmul import framed_magnitude_pallas
 
         out = framed_magnitude_pallas(
@@ -155,7 +155,7 @@ def framed_filterbank(x, wcos, wsin, fb, hop, eps=0.0):
     MelSpectrogram/Gammatonegram forward in one Pallas kernel — the
     (B, F, T) spectrogram never exists in HBM."""
     cfg = get_config()
-    if on_tpu() and cfg.use_pallas:
+    if on_tpu() and cfg.use_pallas and cfg.matmul_precision != "tensorfloat32":
         from .framed_matmul import framed_filterbank_pallas
 
         out = framed_filterbank_pallas(
