@@ -60,3 +60,41 @@ def test_frontend_params_actually_move():
     for name in ("wsin", "wcos", "mel_basis", "head_w"):
         moved = float(jnp.abs(new_params[name] - params[name]).max())
         assert moved > 0, name
+
+
+def test_trainable_istft_gradients():
+    """Gradients flow through the standalone iSTFT's trainable kernels and
+    window (reference: separately trainable iSTFT, stft.py:439-524) and are
+    finite and nonzero; window gradient matches finite differences."""
+    from nnaudio_tpu import features
+
+    n_fft, hop = 256, 64
+    ist = features.iSTFT(n_fft=n_fft, hop_length=hop,
+                         trainable_kernels=True, trainable_window=True,
+                         verbose=False)
+    st = features.STFT(n_fft=n_fft, hop_length=hop, output_format="Complex",
+                       verbose=False)
+    x = np.random.RandomState(0).randn(2, 2048).astype(np.float32)
+    X = jnp.asarray(st(x))
+    params = ist.trainable_params()
+    assert set(params) >= {"kernel_cos", "kernel_sin", "window_mask"}
+
+    def loss(p):
+        rec = ist.apply(p, X, onesided=True, length=2048)
+        return jnp.sum((rec - jnp.asarray(x)) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for k, g in grads.items():
+        assert bool(jnp.isfinite(g).all()), k
+        assert float(jnp.abs(g).max()) > 0, k
+
+    # finite-difference check on one window element
+    eps = 1e-3
+    i = 40
+    p_plus = dict(params)
+    p_plus["window_mask"] = params["window_mask"].at[i].add(eps)
+    p_minus = dict(params)
+    p_minus["window_mask"] = params["window_mask"].at[i].add(-eps)
+    fd = (float(loss(p_plus)) - float(loss(p_minus))) / (2 * eps)
+    an = float(grads["window_mask"][i])
+    assert np.isclose(fd, an, rtol=5e-2, atol=1e-2), (fd, an)
