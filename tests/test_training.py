@@ -98,3 +98,43 @@ def test_trainable_istft_gradients():
     fd = (float(loss(p_plus)) - float(loss(p_minus))) / (2 * eps)
     an = float(grads["window_mask"][i])
     assert np.isclose(fd, an, rtol=5e-2, atol=1e-2), (fd, an)
+
+
+def test_gradients_through_every_trainable_family():
+    """Finite, nonzero gradients for the trainable switches not covered
+    elsewhere: Gammatonegram bins, ChromaSTFT chroma, CQT2010v2 and VQT
+    wavelet banks (CQT1992v2/CQT1992 are covered by the sharding tests,
+    Mel/STFT by test_mel/test_utils)."""
+    from nnaudio_tpu import features
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8192).astype(np.float32))
+
+    cases = [
+        (features.Gammatonegram(sr=16000, n_fft=512, hop_length=256,
+                                trainable_bins=True, verbose=False),
+         {}, ["gammatone_basis"]),
+        (features.ChromaSTFT(sr=16000, n_fft=512, hop_length=256,
+                             trainable_chroma=True, verbose=False),
+         {}, ["chroma_basis"]),
+        (features.CQT2010v2(sr=16000, fmin=55, n_bins=24, bins_per_octave=12,
+                            hop_length=256, trainable=True, verbose=False),
+         dict(output_format="Magnitude", normalization_type="librosa"),
+         ["cqt_kernels_real", "cqt_kernels_imag"]),
+    ]
+    # reference quirk (vqt.py:136-140): VQT's trainable flag only toggles
+    # the magnitude epsilon — its per-octave kernels stay frozen buffers
+    vq = features.VQT(sr=16000, fmin=55, n_bins=24, bins_per_octave=12,
+                      hop_length=256, gamma=2, trainable=True, verbose=False)
+    assert vq.trainable_params() == {}
+    for layer, kwargs, expect_keys in cases:
+        params = layer.trainable_params()
+        for k in expect_keys:
+            assert k in params, (type(layer).__name__, k, sorted(params))
+
+        def loss(p):
+            return jnp.sum(layer.apply(p, x, **kwargs) ** 2)
+
+        grads = jax.grad(loss)(params)
+        for k, g in grads.items():
+            assert bool(jnp.isfinite(g).all()), (type(layer).__name__, k)
+            assert float(jnp.abs(g).max()) > 0, (type(layer).__name__, k)
