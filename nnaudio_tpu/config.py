@@ -66,6 +66,18 @@ def dot_precision() -> jax.lax.Precision:
     }[_config.matmul_precision]
 
 
+def cache_salt() -> tuple:
+    """Config state that changes compiled-graph behavior — included in every
+    transform's jit-cache key so toggling ``fast_mode()`` / the pallas
+    switches takes effect on transforms that have already been called
+    (matmul precision and dispatch choices are captured at trace time)."""
+    return (
+        _config.matmul_precision,
+        _config.use_pallas,
+        _config.use_pallas_synthesis,
+    )
+
+
 def on_tpu() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")

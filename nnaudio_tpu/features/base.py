@@ -63,7 +63,12 @@ class SpectralTransform:
         if params:
             merged.update(params)
         x = jnp.asarray(x)
-        key = tuple(sorted(static_kwargs.items()))
+        from ..config import cache_salt
+
+        # config state is part of the key: precision / pallas switches are
+        # captured at trace time, so a stale cached graph would silently
+        # ignore e.g. fast_mode() entered after the first call
+        key = (cache_salt(), tuple(sorted(static_kwargs.items())))
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(self._forward, **static_kwargs))

@@ -195,10 +195,13 @@ class Griffin_Lim(SpectralTransform):
                 "Please make sure your input is in the shape of "
                 "(batch, freq_bins, timesteps)"
             )
-        fn = self._jit_cache.get("gl")
+        from ..config import cache_salt
+
+        cache_key = ("gl", cache_salt())
+        fn = self._jit_cache.get(cache_key)
         if fn is None:
             fn = jax.jit(self._forward)
-            self._jit_cache["gl"] = fn
+            self._jit_cache[cache_key] = fn
         if key is None:
             key = jax.random.PRNGKey(0)
         return fn(merged, S, key)

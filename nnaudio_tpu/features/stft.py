@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..filters.fourier import create_fourier_basis
 from ..filters.windows import pad_center, window_dispatch
 from ..core.frame import broadcast_dim, pad_signal
-from ..core.apply import complex_stack, magnitude, phase_atan
+from ..core.apply import complex_stack, phase_atan
 from ..core.overlap import (
     extend_fbins,
     normalize_by_window_envelope,
@@ -261,8 +261,6 @@ class STFT(SpectralTransform):
             spec_real = spec_real[:, : self.freq_bins]
             spec_imag = spec_imag[:, : self.freq_bins]
 
-        if output_format == "Magnitude":
-            return magnitude(spec_real, spec_imag, trainable=self.trainable)
         if output_format == "Complex":
             return complex_stack(spec_real, -spec_imag)
         if output_format == "Phase":
@@ -332,7 +330,9 @@ class STFT(SpectralTransform):
             )
         import functools
 
-        key = ("inverse", onesided, length)
+        from ..config import cache_salt
+
+        key = ("inverse", onesided, length, cache_salt())
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(

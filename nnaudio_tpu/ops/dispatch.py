@@ -76,9 +76,10 @@ def framed_basis_pair(x, wcos, wsin, hop):
     Returns (real, imag_raw) where ``imag_raw`` is the *un-negated* sin
     projection, matching the reference conv1d pair (stft.py:290-293).
     """
-    # the hop-decomposition einsum outruns the Pallas pair kernel for
-    # separate real/imag outputs (17.7 vs 13.7 TFLOP/s at HIGHEST) — Pallas
-    # pays off only when an epilogue is fused (see framed_magnitude)
+    # the XLA hop-decomposition einsum matches the round-2 Pallas pair
+    # kernel for separate real/imag outputs (33.2 vs 31-33 TFLOP/s fast,
+    # 16.4 vs ~14 HIGHEST — see the module docstring) — Pallas pays off
+    # only when an epilogue is fused (see framed_magnitude / complex_stack)
     return _xla_pair(x, wcos, wsin, hop)
 
 

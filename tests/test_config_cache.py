@@ -1,0 +1,100 @@
+"""Config-aware jit caching: toggling ``fast_mode()`` / the pallas switches
+must take effect on a transform that has ALREADY been called.
+
+Matmul precision and the pallas dispatch choices are read from the global
+config at trace time; before round 3 the jit cache was keyed on static
+kwargs only, so a transform first called at HIGHEST silently kept serving
+the HIGHEST graph inside ``fast_mode()`` (reference precision contract,
+SURVEY §7 "Numerics"). These tests wrap ``_forward`` with a recorder and
+assert the ambient config seen by each fresh trace.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnaudio_tpu.config import fast_mode, get_config, set_use_pallas
+from nnaudio_tpu.features import STFT, Griffin_Lim, iSTFT
+
+
+def _record_traces(transform, log):
+    orig = transform._forward
+
+    def wrapped(*a, **k):
+        log.append(get_config().matmul_precision)
+        return orig(*a, **k)
+
+    transform._forward = wrapped
+
+
+def test_fast_mode_retraces_used_transform():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4096), jnp.float32)
+    t = STFT(n_fft=512, hop_length=128, output_format="Magnitude",
+             verbose=False)
+    log = []
+    _record_traces(t, log)
+
+    t(x)
+    assert log == ["highest"]
+
+    with fast_mode():
+        t(x)  # must trace a NEW graph at the fast precision
+    assert log == ["highest", "default"]
+
+    t(x)  # back at ambient: cache hit on the original entry, no re-trace
+    assert log == ["highest", "default"]
+
+    with fast_mode():
+        t(x)  # second fast call: cache hit on the fast entry
+    assert log == ["highest", "default"]
+
+
+def test_pallas_switch_retraces():
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 4096), jnp.float32)
+    t = STFT(n_fft=512, hop_length=128, output_format="Magnitude",
+             verbose=False)
+    log = []
+    _record_traces(t, log)
+    t(x)
+    assert len(log) == 1
+    prev = get_config().use_pallas
+    try:
+        set_use_pallas(not prev)
+        t(x)
+        assert len(log) == 2
+    finally:
+        set_use_pallas(prev)
+
+
+def test_inverse_cache_is_config_aware():
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 4096), jnp.float32)
+    t = STFT(n_fft=512, hop_length=128, iSTFT=True, verbose=False)
+    X = t(x, output_format="Complex")
+    t.inverse(X, onesided=True, length=x.shape[-1])
+    n_before = len(t._jit_cache)
+    with fast_mode():
+        t.inverse(X, onesided=True, length=x.shape[-1])
+    assert len(t._jit_cache) == n_before + 1
+
+
+def test_griffin_lim_cache_is_config_aware():
+    gl = Griffin_Lim(n_fft=256, n_iter=2, hop_length=64)
+    S = jnp.abs(jnp.asarray(
+        np.random.RandomState(3).randn(1, 129, 40), jnp.float32))
+    gl(S)
+    n_before = len(gl._jit_cache)
+    with fast_mode():
+        gl(S)
+    assert len(gl._jit_cache) == n_before + 1
+
+
+def test_fast_mode_numerics_unchanged_on_reused_transform():
+    # the retrace must not change results on CPU (precision flags are
+    # TPU-visible only) — guards against cache-key plumbing bugs
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 4096), jnp.float32)
+    t = STFT(n_fft=512, hop_length=128, output_format="Magnitude",
+             verbose=False)
+    y1 = np.asarray(t(x))
+    with fast_mode():
+        y2 = np.asarray(t(x))
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5)
