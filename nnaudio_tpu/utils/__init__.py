@@ -12,12 +12,20 @@ from .buckets import (
     pad_to_bucket,
     valid_frame_count,
 )
-from .checkpoint import load_params, restore_transform, save_params
+from .checkpoint import (
+    load_params,
+    load_sharded,
+    restore_transform,
+    save_params,
+    save_sharded,
+)
 from .profiling import trace
 
 __all__ = [
     "save_params",
     "load_params",
+    "save_sharded",
+    "load_sharded",
     "restore_transform",
     "trace",
     "pad_to_bucket",

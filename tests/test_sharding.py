@@ -270,3 +270,43 @@ def test_tensor_parallel_grads(mesh24):
         # the gradient's scale, not element-wise atol
         rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
         assert rel < 1e-5, (k, rel)
+
+
+def test_sharded_checkpoint_restores_onto_different_mesh(mesh24, tmp_path):
+    """Multi-host-style checkpointing: save a model-axis-sharded params
+    pytree with orbax, restore it onto a DIFFERENT mesh shape (model=4 ->
+    model=2) with new target shardings, and run the transform from the
+    restored params (ROADMAP "Infra"; reference state_dict contract,
+    stft.py:234-245)."""
+    from nnaudio_tpu.utils import load_sharded, save_sharded
+
+    layer = features.CQT1992v2(sr=16000, fmin=55, n_bins=48, bins_per_octave=12,
+                               hop_length=512, verbose=False)
+    x = np.random.RandomState(7).randn(4, 16384).astype(np.float32)
+    want = np.asarray(layer(x, output_format="Magnitude"))
+
+    sharded = parallel.shard_kernel_bank(layer.params, mesh24)
+    path = str(tmp_path / "ckpt")
+    save_sharded(path, sharded)
+
+    mesh42 = parallel.make_mesh(data=4, model=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    target_shardings = {
+        "cqt_kernels_real": NamedSharding(mesh42, P("model", None)),
+        "cqt_kernels_imag": NamedSharding(mesh42, P("model", None)),
+    }
+    restored = load_sharded(path, layer.params, target_shardings)
+
+    # exact values, new placement
+    for k, v in layer.params.items():
+        assert np.array_equal(np.asarray(restored[k]), np.asarray(v)), k
+    assert restored["cqt_kernels_real"].sharding.mesh.shape["model"] == 2
+    assert restored["cqt_kernels_real"].sharding.spec[0] == "model"
+
+    # the restored sharded params drive the bank-sharded forward on the new
+    # mesh and reproduce the single-device output
+    run = parallel.bank_sharded_apply(layer, mesh42, output_format="Magnitude",
+                                      normalization_type="librosa")
+    got = np.asarray(run(x, params=restored))
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-6)
