@@ -1,8 +1,11 @@
 """Benchmark harness: the full BASELINE.md target table on the available chip.
 
-Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
-The headline STFT magnitude metric is printed LAST (drivers that parse a
-single line keep the round-1 metric continuity).
+Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline",
+"median", "spread"} — value/median are the best/median of 6 timed repeats
+(the shared chip drifts ±30-50%; spread = repeat range / best repeat makes
+round-over-round deltas attributable). The headline STFT magnitude metric is
+printed LAST (drivers that parse a single line keep the round-1 metric
+continuity).
 
 Metrics follow BASELINE.md "Targets for the TPU build":
   - STFT n_fft=2048 hop=512 magnitude (headline) + fast bf16 mode
@@ -49,8 +52,20 @@ REF_PATH = "/root/reference/Installation"
 
 # ---------------------------------------------------------------- TPU side
 
-def _timeit(fn, x, iters=8, repeats=4, extra=None):
-    """Audio-agnostic: seconds per one fn(x) call, tunnel-safe."""
+def _stats(times, iters):
+    """min/median/spread per-call stats from repeat wall times. The shared
+    chip drifts ±30-50% across sessions; min is the least noise-contaminated
+    point estimate, median + spread make round-over-round deltas
+    attributable (VERDICT r2 item 10)."""
+    ts = sorted(t / iters for t in times)
+    n = len(ts)
+    med = ts[n // 2] if n % 2 else 0.5 * (ts[n // 2 - 1] + ts[n // 2])
+    return {"min_s": ts[0], "med_s": med,
+            "spread": (ts[-1] - ts[0]) / ts[0]}
+
+
+def _timeit(fn, x, iters=8, repeats=6, extra=None):
+    """Audio-agnostic per-call stats for one fn(x) call, tunnel-safe."""
     import jax
     import jax.numpy as jnp
 
@@ -70,10 +85,18 @@ def _timeit(fn, x, iters=8, repeats=4, extra=None):
         t0 = time.perf_counter()
         float(loop(x))
         times.append(time.perf_counter() - t0)
-    return min(times) / iters
+    return _stats(times, iters)
 
 
-def tpu_metrics() -> dict[str, float]:
+
+def _thr(stats, audio_s=AUDIO_S):
+    """Throughput rows from per-call stats: value = audio-s/s at the min
+    time, median at the median time, spread = repeat-to-repeat range."""
+    return {"value": audio_s / stats["min_s"],
+            "median": audio_s / stats["med_s"],
+            "spread": stats["spread"]}
+
+def tpu_metrics() -> dict[str, dict]:
     import jax
     import jax.numpy as jnp
     from nnaudio_tpu import features, fast_mode
@@ -85,63 +108,63 @@ def tpu_metrics() -> dict[str, float]:
     st = features.STFT(n_fft=N_FFT, hop_length=HOP,
                        output_format="Magnitude", verbose=False)
     sp = dict(st._params)
-    out["stft"] = AUDIO_S / _timeit(
-        lambda xx: st._forward(sp, xx, output_format="Magnitude"), x)
+    out["stft"] = _thr(_timeit(
+        lambda xx: st._forward(sp, xx, output_format="Magnitude"), x))
     with fast_mode():
         stf = features.STFT(n_fft=N_FFT, hop_length=HOP,
                             output_format="Magnitude", verbose=False)
         spf = dict(stf._params)
-        out["stft_fast"] = AUDIO_S / _timeit(
-            lambda xx: stf._forward(spf, xx, output_format="Magnitude"), x)
+        out["stft_fast"] = _thr(_timeit(
+            lambda xx: stf._forward(spf, xx, output_format="Magnitude"), x))
 
     mel = features.MelSpectrogram(sr=SR, n_fft=N_FFT, hop_length=HOP,
                                   n_mels=128, verbose=False)
     mp = dict(mel._params)
-    out["mel"] = AUDIO_S / _timeit(lambda xx: mel._forward(mp, xx), x)
+    out["mel"] = _thr(_timeit(lambda xx: mel._forward(mp, xx), x))
     with fast_mode():
         melf = features.MelSpectrogram(sr=SR, n_fft=N_FFT, hop_length=HOP,
                                        n_mels=128, verbose=False)
         mpf = dict(melf._params)
-        out["mel_fast"] = AUDIO_S / _timeit(
-            lambda xx: melf._forward(mpf, xx), x)
+        out["mel_fast"] = _thr(_timeit(
+            lambda xx: melf._forward(mpf, xx), x))
 
     mf = features.MFCC(sr=SR, n_mfcc=20, verbose=False)
     fp = dict(mf._params)
-    out["mfcc"] = AUDIO_S / _timeit(lambda xx: mf._forward(fp, xx), x)
+    out["mfcc"] = _thr(_timeit(lambda xx: mf._forward(fp, xx), x))
 
     q = features.CQT1992v2(sr=SR, hop_length=HOP, n_bins=84,
                            bins_per_octave=12, verbose=False)
     qp = dict(q._params)
-    out["cqt1992v2"] = AUDIO_S / _timeit(
+    out["cqt1992v2"] = _thr(_timeit(
         lambda xx: q._forward(qp, xx, output_format="Magnitude",
-                              normalization_type="librosa"), x)
+                              normalization_type="librosa"), x))
     with fast_mode():
         qf = features.CQT1992v2(sr=SR, hop_length=HOP, n_bins=84,
                                 bins_per_octave=12, verbose=False)
         qfp = dict(qf._params)
-        out["cqt1992v2_fast"] = AUDIO_S / _timeit(
+        out["cqt1992v2_fast"] = _thr(_timeit(
             lambda xx: qf._forward(qfp, xx, output_format="Magnitude",
-                                   normalization_type="librosa"), x)
+                                   normalization_type="librosa"), x))
 
     vq = features.VQT(sr=SR, hop_length=HOP, n_bins=84, bins_per_octave=12,
                       gamma=2, verbose=False)
     vp = dict(vq._params)
-    out["vqt"] = AUDIO_S / _timeit(
+    out["vqt"] = _thr(_timeit(
         lambda xx: vq._forward(vp, xx, output_format="Magnitude",
-                               normalization_type="librosa"), x)
+                               normalization_type="librosa"), x))
 
     X = jax.device_put(np.asarray(st._forward(sp, x, output_format="Complex")))
     ist = features.iSTFT(n_fft=N_FFT, hop_length=HOP, verbose=False)
     ip = dict(ist._params)
-    out["istft"] = AUDIO_S / _timeit(
-        lambda XX: ist._forward(ip, XX, onesided=True, length=LENGTH), X)
+    out["istft"] = _thr(_timeit(
+        lambda XX: ist._forward(ip, XX, onesided=True, length=LENGTH), X))
 
     S = jax.device_put(np.abs(np.asarray(X[..., 0])))
     gl = features.Griffin_Lim(n_fft=N_FFT, hop_length=HOP, n_iter=32)
     glp = dict(gl._params)
     key = jax.random.PRNGKey(0)
-    out["griffin_lim"] = AUDIO_S / _timeit(
-        lambda SS, k: gl._forward(glp, SS, k), S, iters=2, extra=key)
+    out["griffin_lim"] = _thr(_timeit(
+        lambda SS, k: gl._forward(glp, SS, k), S, iters=2, extra=key))
 
     # trainable end-to-end step: STFT basis + linear head under jax.grad
     stt = features.STFT(n_fft=N_FFT, hop_length=HOP,
@@ -174,12 +197,12 @@ def tpu_metrics() -> dict[str, float]:
         a, _ = train_loop(params0, x)
         float(a)
         times = []
-        for _ in range(3):
+        for _ in range(6):
             t0 = time.perf_counter()
             a, _ = train_loop(params0, x)
             float(a)
             times.append(time.perf_counter() - t0)
-        return AUDIO_S / (min(times) / 8)
+        return _thr(_stats(times, 8))
 
     out["train_step"] = time_train(jax.jit(train_loop_py))
     with fast_mode():
@@ -343,11 +366,16 @@ def main():
         }))
     for key, metric in NAMES.items():
         base = theirs.get(key)
+        row = ours[key]
         print(json.dumps({
             "metric": metric,
-            "value": round(ours[key], 1),
+            "value": round(row["value"], 1),
             "unit": "audio_seconds_per_second_per_chip",
-            "vs_baseline": round(ours[key] / base, 2) if base else None,
+            "vs_baseline": round(row["value"] / base, 2) if base else None,
+            # variance fields (6 repeats/metric): median throughput and the
+            # repeat-to-repeat wall-time range relative to the best repeat
+            "median": round(row["median"], 1),
+            "spread": round(row["spread"], 3),
         }))
 
 

@@ -30,7 +30,7 @@ from ..core.frame import broadcast_dim, pad_signal
 from ..core.resample import downsample_by_n
 from ..filters.cqt import create_cqt_kernels, create_lowpass_filter, early_downsample_params
 from ..filters.fourier import create_fourier_basis
-from ..ops.dispatch import framed_basis_pair, framed_magnitude
+from ..ops.dispatch import framed_basis_pair, framed_complex, framed_magnitude
 from .base import SpectralTransform
 
 
@@ -382,6 +382,21 @@ class CQT1992v2(SpectralTransform):
             if normalization_type == "wrap":
                 return mag * 2
             return mag
+
+        if output_format == "Complex":
+            # fused stacked-Complex with the normalization scale folded into
+            # the kernel's interleaved store (cqt.py:766-775)
+            if normalization_type == "librosa":
+                scale = jnp.sqrt(params["lenghts"])
+            elif normalization_type == "wrap":
+                scale = jnp.full(
+                    (params["cqt_kernels_real"].shape[0],), 2.0, jnp.float32)
+            else:
+                scale = None
+            return framed_complex(
+                x, params["cqt_kernels_real"], params["cqt_kernels_imag"],
+                scale, self.hop_length,
+            )
 
         real, imag_raw = framed_basis_pair(
             x, params["cqt_kernels_real"], params["cqt_kernels_imag"], self.hop_length

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..filters.fourier import create_fourier_basis
 from ..filters.windows import pad_center, window_dispatch
 from ..core.frame import broadcast_dim, pad_signal
-from ..core.apply import complex_stack, phase_atan
+from ..core.apply import phase_atan
 from ..core.overlap import (
     extend_fbins,
     normalize_by_window_envelope,
@@ -31,6 +31,7 @@ from ..core.overlap import (
 )
 from ..ops.dispatch import (
     framed_basis_pair,
+    framed_complex,
     framed_magnitude,
     framed_power,
     synthesis_ola,
@@ -254,15 +255,20 @@ class STFT(SpectralTransform):
                 x, params["wcos"], params["wsin"], self.stride,
                 eps=1e-8 if self.trainable else 0.0,
             )
+        if output_format == "Complex":
+            # fused stacked-Complex: the (real, -imag) convention
+            # (stft.py:307-311) is emitted straight from the kernel — no
+            # separate stack/negate passes. (The basis has exactly freq_bins
+            # rows, so the reference's post-conv truncation is a no-op.)
+            return framed_complex(
+                x, params["wcos"], params["wsin"], None, self.stride
+            )
         spec_real, spec_imag = framed_basis_pair(
             x, params["wcos"], params["wsin"], self.stride
         )
         if self.freq_bins is not None:
             spec_real = spec_real[:, : self.freq_bins]
             spec_imag = spec_imag[:, : self.freq_bins]
-
-        if output_format == "Complex":
-            return complex_stack(spec_real, -spec_imag)
         if output_format == "Phase":
             return phase_atan(spec_real, -spec_imag)
         raise ValueError(f"unknown output_format {output_format!r}")

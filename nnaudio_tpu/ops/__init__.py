@@ -4,6 +4,9 @@ Public ops (all custom-VJP, all with XLA fallbacks off-TPU or outside the
 kernel envelopes):
 
 - :func:`framed_basis_pair` — two (B, F, T) basis projections (STFT core)
+- :func:`framed_complex` — reference-convention ``(B, F, T, 2)`` stack
+  ``(real*s, -imag*s)`` (XLA fuses the epilogue for free — measured note
+  in framed_matmul.py)
 - :func:`framed_magnitude` — fused ``sqrt((xW_c)^2 + (xW_s)^2 + eps)``
 - :func:`framed_power` — fused power spectrum (no sqrt)
 - :func:`framed_filterbank` — fused ``fb @ (|STFT|^2 + eps)`` (whole Mel)
@@ -11,6 +14,7 @@ kernel envelopes):
 """
 from .dispatch import (
     framed_basis_pair,
+    framed_complex,
     framed_filterbank,
     framed_magnitude,
     framed_power,
@@ -19,6 +23,7 @@ from .dispatch import (
 
 __all__ = [
     "framed_basis_pair",
+    "framed_complex",
     "framed_filterbank",
     "framed_magnitude",
     "framed_power",

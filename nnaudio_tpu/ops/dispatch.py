@@ -109,6 +109,58 @@ def framed_magnitude(x, wcos, wsin, hop, eps=0.0):
     return jnp.sqrt(power)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def framed_complex(x, wcos, wsin, scale, hop):
+    """Fused reference-convention Complex stack:
+    ``out[..., 0] = real * s_f``, ``out[..., 1] = -imag_raw * s_f``
+    (stft.py:307-311 sign convention; ``scale`` carries e.g. the CQT librosa
+    ``sqrt(lengths)`` normalization, cqt.py:766-775 — pass None for no
+    scaling).
+
+    Runs as the XLA pair + stack, which is the measured optimum: XLA fuses
+    the stack/negate/scale epilogue into the hop-decomposition matmuls for
+    free — pair 44.0k / pair+stack+scale 44.0k audio-s/s at HIGHEST (== the
+    fused Pallas magnitude kernel, 44.1k) and 83.7k / 83.1k fast at the
+    headline config. A Pallas interleaved-store complex kernel was built and
+    removed: Mosaic cannot lower lane interleaves (see the round-3 note in
+    framed_matmul.py), and there is nothing left to save — the op is
+    dot-bound at the same rate as the best fused kernel."""
+    real, imag = _xla_pair(x, wcos, wsin, hop)
+    if scale is not None:
+        s = scale.reshape(1, -1, 1)
+        real, imag = real * s, imag * s
+    return jnp.stack((real, -imag), axis=-1)
+
+
+def _cplx_fwd(x, wcos, wsin, scale, hop):
+    real, imag = _xla_pair(x, wcos, wsin, hop)
+    if scale is not None:
+        s = scale.reshape(1, -1, 1)
+        out = jnp.stack((real * s, -imag * s), axis=-1)
+    else:
+        out = jnp.stack((real, -imag), axis=-1)
+    return out, (x, wcos, wsin, scale, real, imag)
+
+
+def _cplx_bwd(hop, res, g):
+    x, wcos, wsin, scale, real, imag = res
+    g0, g1 = g[..., 0], g[..., 1]
+    if scale is not None:
+        s = scale.reshape(1, -1, 1)
+        d_real, d_imag = g0 * s, -g1 * s
+        # out0 = real*s, out1 = -imag*s -> ds_f = sum_bt (g0*real - g1*imag)
+        d_scale = (jnp.sum(g0 * real, axis=(0, 2))
+                   - jnp.sum(g1 * imag, axis=(0, 2))).reshape(scale.shape)
+        d_scale = d_scale.astype(scale.dtype)
+    else:
+        d_real, d_imag, d_scale = g0, -g1, None
+    d_x, d_wcos, d_wsin = _bwd(hop, (x, wcos, wsin), (d_real, d_imag))
+    return d_x, d_wcos, d_wsin, d_scale
+
+
+framed_complex.defvjp(_cplx_fwd, _cplx_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def framed_power(x, wcos, wsin, hop):
     """Fused power spectrum ``(x*wcos)^2 + (x*wsin)^2`` -> (B, F, T).

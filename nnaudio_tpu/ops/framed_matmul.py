@@ -205,6 +205,22 @@ def _pair_kernel(x_hbm, wcos_ref, wsin_ref, real_ref, imag_ref, slab, frame,
         imag_ref[u, :, :] = imag.T
 
 
+# A fused stacked-Complex kernel (interleaved (real*s, -imag*s) lane tiles,
+# so the (B, F, T, 2) view would be a free reshape) was built and measured in
+# round 3 — and REMOVED, twice over:
+# - Mosaic cannot lower the interleave: `stack(-1) + reshape (f,t,2)->(f,2t)`
+#   fails with "infer-vector-layout: unsupported shape cast", and stride-2
+#   minor-dim stores (`out_ref[:, ::2]`) fail in apply-vector-layout.
+# - It would not pay anyway: XLA already fuses the stack/negate/scale
+#   epilogue into the hop-decomposition matmuls for free. Measured at the
+#   headline config (n_fft=2048, hop=512, B=32x10s): HIGHEST pair 44.0k /
+#   pair+stack 43.9k / pair+stack+scale 44.0k audio-s/s (== the fused Pallas
+#   magnitude kernel, 44.1k); fast pair 83.7k / pair+stack 83.1k (Pallas
+#   magnitude 81.2k). The Pallas *pair* is strictly slower (37.9k HIGHEST /
+#   79.0k fast). Complex output is dot-bound and already at kernel speed —
+#   see ops/dispatch.py framed_complex.
+
+
 def _magnitude_kernel(x_hbm, wcos_ref, wsin_ref, out_ref, slab, frame, sem,
                       *, w, q, n_chunks, tile_t, bb, prec, eps, square):
     """Frame+matmul+magnitude in one pass: the (B, F, T) real/imag pair never
@@ -320,6 +336,8 @@ def _framed_analysis(x, wcos_t, wsin_t, hop, w, q, n_chunks, tile_t, tile_f,
         * (4 if highest else 2),
         transcendentals=0 if pair else b * t_total * f,
     )
+    operands = [x2, wc, ws]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY), basis_spec, basis_spec]
     if pair:
         kern = functools.partial(_pair_kernel, **common)
         outs = [out_shape, out_shape]
@@ -332,7 +350,7 @@ def _framed_analysis(x, wcos_t, wsin_t, hop, w, q, n_chunks, tile_t, tile_f,
     res = pl.pallas_call(
         kern,
         grid=(b // bb, n_t_tiles, f_padded // tile_f),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY), basis_spec, basis_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=outs,
         scratch_shapes=[
@@ -342,7 +360,7 @@ def _framed_analysis(x, wcos_t, wsin_t, hop, w, q, n_chunks, tile_t, tile_f,
         ],
         cost_estimate=cost,
         interpret=_INTERPRET,
-    )(x2, wc, ws)
+    )(*operands)
     if pair:
         return res[0][:, :f, :t_total], res[1][:, :f, :t_total]
     return res[:, :f, :t_total]

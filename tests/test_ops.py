@@ -363,3 +363,51 @@ def test_backward_hopdec_with_tail_samples():
         assert np.allclose(a, b, rtol=1e-4, atol=1e-4)
     # tail samples past the last frame: zero gradient
     assert np.array_equal(np.asarray(g1[0][:, -2:]), np.zeros((2, 2)))
+
+
+def test_framed_complex_matches_pair_stack():
+    """framed_complex == stack((real*s, -imag*s)) of the pair — the op is a
+    convention wrapper over the XLA pair (the fused stack is free: see the
+    round-3 measured note in ops/framed_matmul.py)."""
+    rng = np.random.RandomState(31)
+    x = jnp.asarray(rng.randn(2, 4096).astype(np.float32))
+    wcos = jnp.asarray(rng.randn(129, 1024).astype(np.float32))
+    wsin = jnp.asarray(rng.randn(129, 1024).astype(np.float32))
+    scale = jnp.asarray(rng.rand(129).astype(np.float32) + 0.5)
+    hop = 256
+    real, imag = dispatch._xla_pair(x, wcos, wsin, hop)
+    out = dispatch.framed_complex(x, wcos, wsin, None, hop)
+    assert np.allclose(out, jnp.stack((real, -imag), -1), rtol=1e-5,
+                       atol=1e-6)
+    out_s = dispatch.framed_complex(x, wcos, wsin, scale, hop)
+    want_s = jnp.stack((real * scale[None, :, None],
+                        -imag * scale[None, :, None]), -1)
+    assert np.allclose(out_s, want_s, rtol=1e-5, atol=1e-6)
+
+
+def test_framed_complex_custom_vjp():
+    """framed_complex gradients (incl. the scale cotangent) match autodiff
+    through the unfused stack."""
+    rng = np.random.RandomState(33)
+    x = jnp.asarray(rng.randn(1, 512).astype(np.float32))
+    wcos = jnp.asarray(rng.randn(17, 64).astype(np.float32))
+    wsin = jnp.asarray(rng.randn(17, 64).astype(np.float32))
+    scale = jnp.asarray(rng.rand(17).astype(np.float32) + 0.5)
+    tgt = jnp.asarray(rng.randn(1, 17, 29, 2).astype(np.float32))
+
+    def loss_custom(x, wc, ws, s):
+        out = dispatch.framed_complex(x, wc, ws, s, 16)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_ref(x, wc, ws, s):
+        from nnaudio_tpu.core.apply import apply_basis
+
+        frames = frame_signal(x, 64, 16)
+        r, i = apply_basis(frames, wc), apply_basis(frames, ws)
+        out = jnp.stack((r * s[None, :, None], -i * s[None, :, None]), -1)
+        return jnp.sum((out - tgt) ** 2)
+
+    g1 = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(x, wcos, wsin, scale)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, wcos, wsin, scale)
+    for a, b in zip(g1, g2):
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-4)
