@@ -183,15 +183,23 @@ def tpu_metrics() -> dict[str, dict]:
         pred = pooled @ p["head"]
         return jnp.mean((pred - y_true) ** 2)
 
-    def train_loop_py(p, xx):
-        # 8 in-graph steps amortize the ~25ms tunnel dispatch roundtrip
-        # (4 steps left the metric roundtrip-floored and precision-blind)
-        acc = 0.0
-        for _ in range(8):
-            l, g = jax.value_and_grad(loss_fn)(p, xx * (1 + acc * 1e-20))
-            p = jax.tree_util.tree_map(lambda a, b: a - 1e-3 * b, p, g)
-            acc = acc + l
-        return acc, p
+    def make_train_loop():
+        # a FRESH function object per precision mode: jax.jit's global
+        # executable cache keys on function identity + avals and knows
+        # nothing about this package's config — jitting the SAME function
+        # under fast_mode() silently reuses the HIGHEST-compiled binary.
+        # (This exact collision made rounds 1-2 report the train step as
+        # "precision-flat at ~12 ms"; it never was — fast is ~5.5 ms.)
+        def train_loop(p, xx):
+            # 8 in-graph steps amortize the ~25ms tunnel dispatch roundtrip
+            # (4 steps left the metric roundtrip-floored)
+            acc = 0.0
+            for _ in range(8):
+                l, g = jax.value_and_grad(loss_fn)(p, xx * (1 + acc * 1e-20))
+                p = jax.tree_util.tree_map(lambda a, b: a - 1e-3 * b, p, g)
+                acc = acc + l
+            return acc, p
+        return train_loop
 
     def time_train(train_loop):
         a, _ = train_loop(params0, x)
@@ -204,11 +212,10 @@ def tpu_metrics() -> dict[str, dict]:
             times.append(time.perf_counter() - t0)
         return _thr(_stats(times, 8))
 
-    out["train_step"] = time_train(jax.jit(train_loop_py))
+    out["train_step"] = time_train(jax.jit(make_train_loop()))
     with fast_mode():
         # mixed-precision training: bf16 multiplies in fwd+bwd contractions
-        # (a fresh jit wrapper re-traces under the fast config)
-        out["train_step_fast"] = time_train(jax.jit(train_loop_py))
+        out["train_step_fast"] = time_train(jax.jit(make_train_loop()))
     del n_frames
     return out
 
