@@ -22,11 +22,12 @@ class _Config:
     # power/filterbank epilogue kernels — 1.25-1.8x the XLA pipeline; see
     # ops/dispatch.py).
     use_pallas: bool = True
-    # Fused synthesis+overlap-add kernel (iSTFT/Griffin-Lim). None = auto:
-    # on in fast (bf16) mode, where the full kernel bank fits VMEM and the
-    # kernel beats the XLA einsum+OLA path (67k vs 59k audio-s/s at the
-    # headline config); off at HIGHEST (XLA path measured at parity or
-    # slightly ahead). True/False force it.
+    # Fused synthesis+overlap-add kernel (iSTFT/Griffin-Lim). None = auto
+    # (round-3 policy): always on in fast (bf16) mode (73.5k vs 66.2k XLA
+    # at the headline config); in the fp32 modes on only where XLA's
+    # scatter-OLA collapses — misaligned hops (speech 160/320: 1.8-3.1x)
+    # or >9-chunk overlaps — while the aligned headline keeps XLA (46.0k
+    # vs 34.2k). True/False force it.
     use_pallas_synthesis: bool | None = None
 
 

@@ -282,16 +282,31 @@ def synthesis_ola(spec_re, spec_im, kc, ks, hop):
     tensor kept in VMEM on TPU. ``kc``/``ks`` carry window, 1/n_fft and
     Hermitian-fold weights; the op computes ``OLA(kc^T Re - ks^T Im)``."""
     cfg = get_config()
-    # auto mode enables the bf16-storage kernel only at "default" precision:
-    # tensorfloat32 asks for ~1e-4 numerics and must keep the fp32 XLA path
-    use_syn = (cfg.use_pallas_synthesis if cfg.use_pallas_synthesis is not None
-               else cfg.matmul_precision == "default")
+    use_syn = cfg.use_pallas_synthesis
+    if use_syn is None:
+        # auto policy (round-3 measurements, batch 32):
+        # - fast (bf16) mode: the fused kernel always wins (73.5k vs 66.2k
+        #   even at the aligned headline config);
+        # - fp32 modes (highest/tensorfloat32): the kernel wins only where
+        #   XLA's scatter-OLA collapses — misaligned hops (q > 1: 56.8k vs
+        #   31.0k at 512/160) or deep overlap (16 chunks: 9.4k vs 8.7k);
+        #   at the aligned small-overlap headline XLA stays (46.0k vs 34.2k)
+        if cfg.matmul_precision == "default":
+            use_syn = True
+        else:
+            import math
+
+            w = hop * 128 // math.gcd(hop, 128)
+            use_syn = w // hop > 1 or -(-kc.shape[1] // w) > 9
     if on_tpu() and cfg.use_pallas and use_syn:
         from .framed_matmul import synthesis_ola_pallas
 
+        # fp32-path modes (highest AND tensorfloat32) use the fp32-storage
+        # kernel variant: tf32 asks ~1e-4 numerics, bf16 storage delivers
+        # only ~2e-3
         out = synthesis_ola_pallas(
             spec_re, spec_im, kc, ks, hop,
-            highest=cfg.matmul_precision == "highest",
+            highest=cfg.matmul_precision != "default",
         )
         if out is not None:
             return out

@@ -493,22 +493,30 @@ def framed_filterbank_pallas(x, wcos, wsin, fb, hop, highest: bool,
 
 def _synthesis_ola_kernel(
     sre_hbm, sim_hbm, kc_ref, ks_ref, main_ref, tail_ref, fblk, slab_re,
-    slab_im, sem, *, hop, n_fft, tile_r, prec
+    slab_im, sem, *, w, q, n_chunks, tail_rows, tile_r, prec
 ):
     """Synthesis matmul + overlap-add in one pass (iSTFT hot path).
 
-    Mirrors the analysis kernels' frame-block structure in reverse: the
-    frequency axis streams through the grid's innermost dimension, building
-    the (tile_r, n_fft) frame block for frames [j*tile_r, (j+1)*tile_r) —
-    aligned to the tile, zero recompute — via one transposed MXU matmul per
-    basis per step. At the LAST frequency step the overlap-add collapses
-    the block: rows [j*tile_r, +tile_r) go to the main output; the
-    n_chunks-1 boundary rows that spill into the next tile go to a small
-    ``tail`` output, added back by the caller with one cheap XLA op. The
-    (B, T, n_fft) frame tensor never exists in HBM, and the
-    sublane-misaligned OLA shifts happen once per row tile. When the whole
-    (bf16) kernel bank fits VMEM the grid has one frequency step and the
-    frame block accumulator is skipped entirely.
+    Mirrors the analysis kernels' frame-block structure in reverse, on the
+    same generalized row decomposition (``w = lcm(hop, 128)``,
+    ``q = w//hop``): output row ``r`` is the width-``w`` window starting at
+    sample ``r*hop``, and frame ``t``'s chunk ``c`` (of the kernel bank
+    zero-padded to ``n_chunks*w`` columns) lands in row ``t + c*q`` — the
+    exact adjoint of the analysis ``_repack`` indexing, so any hop in the
+    analysis envelope fuses here too (speech 160/320, pyramid octaves).
+
+    The frequency axis streams through the grid's innermost dimension,
+    building the (tile_r, n_chunks*w) frame block for frames
+    [j*tile_r, (j+1)*tile_r) via one transposed MXU matmul per basis per
+    step. At the LAST frequency step the overlap-add collapses the block:
+    row contributions within the tile go to the main output; the
+    ``(n_chunks-1)*q`` boundary rows that spill into the next tile go to a
+    small ``tail`` output, added back by the caller with one cheap XLA op.
+    For ``q > 1`` the caller then combines the q overlapping row phases
+    (adjoint of the analysis repack). The (B, T, n_fft) frame tensor never
+    exists in HBM, and the sublane-misaligned OLA shifts happen once per
+    row tile. When the whole (bf16) kernel bank fits VMEM the grid has one
+    frequency step and the frame block accumulator is skipped entirely.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -517,7 +525,6 @@ def _synthesis_ola_kernel(
     j = pl.program_id(1)
     k = pl.program_id(2)
     n_f_tiles = pl.num_programs(2)
-    n_chunks = n_fft // hop
     tile_f = slab_re.shape[0]
 
     dma_re = pltpu.make_async_copy(
@@ -534,7 +541,7 @@ def _synthesis_ola_kernel(
     dma_im.wait()
 
     # frames[t] = kc^T sre[:, t] - ks^T sim[:, t]:
-    # dot_general contracts dim 0 of both operands -> (tile_r, n_fft)
+    # dot_general contracts dim 0 of both operands -> (tile_r, n_chunks*w)
     dn = (((0,), (0,)), ((), ()))
     acc = jax.lax.dot_general(slab_re[...], kc_ref[...], dn,
                               preferred_element_type=jnp.float32,
@@ -544,20 +551,22 @@ def _synthesis_ola_kernel(
                                     precision=prec)
 
     def emit(frames):
-        # main rows: row j*tile_r + rr sums frames[rr - c] chunk c (rr >= c)
-        o = jnp.zeros((tile_r, hop), jnp.float32)
+        # main rows: row j*tile_r + rr sums frames[rr - c*q] chunk c
+        o = jnp.zeros((tile_r, w), jnp.float32)
         for c in range(n_chunks):
-            part = frames[: tile_r - c, c * hop : (c + 1) * hop]
-            o = o + (part if c == 0 else jnp.pad(part, ((c, 0), (0, 0))))
+            s = c * q
+            part = frames[: tile_r - s, c * w : (c + 1) * w]
+            o = o + (part if s == 0 else jnp.pad(part, ((s, 0), (0, 0))))
         main_ref[0, :, :] = o
-        # tail rows rr in [0, n_chunks-1): contributions of this tile's last
-        # frames to the NEXT tile's first rows: sum_{c > rr} frames[tile_r
-        # + rr - c] chunk c
+        # tail rows rr in [0, (n_chunks-1)*q): contributions of this tile's
+        # last frames to the NEXT tile's first rows:
+        # sum_{c: c*q > rr} frames[tile_r + rr - c*q] chunk c
         if n_chunks > 1:
-            tl = jnp.zeros((8, hop), jnp.float32)
+            tl = jnp.zeros((tail_rows, w), jnp.float32)
             for c in range(1, n_chunks):
-                part = frames[tile_r - c :, c * hop : (c + 1) * hop]
-                tl = tl + jnp.pad(part, ((0, 8 - c), (0, 0)))
+                s = c * q
+                part = frames[tile_r - s :, c * w : (c + 1) * w]
+                tl = tl + jnp.pad(part, ((0, tail_rows - s), (0, 0)))
             tail_ref[0, :, :] = tl
 
     if n_f_tiles == 1:
@@ -577,16 +586,23 @@ def _synthesis_ola_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hop", "tile_r", "tile_f", "highest")
+    jax.jit, static_argnames=("hop", "w", "q", "n_chunks", "tail_rows",
+                              "tile_r", "tile_f", "highest")
 )
-def _synthesis_ola(spec_re, spec_im, kc_t, ks_t, hop, tile_r, tile_f, highest):
+def _synthesis_ola(spec_re, spec_im, kc_t, ks_t, hop, w, q, n_chunks,
+                   tail_rows, tile_r, tile_f, highest):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, f, t = spec_re.shape
     n_fft = kc_t.shape[1]
-    n_chunks = n_fft // hop
-    rows = t + n_chunks - 1  # output length rows*hop = n_fft + hop*(t-1)
+    kpad = n_chunks * w
+    if kpad > n_fft:
+        # zero kernel columns beyond n_fft contribute nothing
+        kc_t = jnp.pad(kc_t, ((0, 0), (0, kpad - n_fft)))
+        ks_t = jnp.pad(ks_t, ((0, 0), (0, kpad - n_fft)))
+    # row r covers samples [r*hop, r*hop + w); frame t chunk c -> row t+c*q
+    rows = t + (n_chunks - 1) * q
 
     n_r_tiles = -(-rows // tile_r)
     t_pad = n_r_tiles * tile_r - t
@@ -609,7 +625,8 @@ def _synthesis_ola(spec_re, spec_im, kc_t, ks_t, hop, tile_r, tile_f, highest):
 
     prec = (jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT)
     kern = functools.partial(
-        _synthesis_ola_kernel, hop=hop, n_fft=n_fft, tile_r=tile_r, prec=prec,
+        _synthesis_ola_kernel, w=w, q=q, n_chunks=n_chunks,
+        tail_rows=tail_rows, tile_r=tile_r, prec=prec,
     )
     single = f_padded // tile_f == 1
     main, tail = pl.pallas_call(
@@ -618,61 +635,85 @@ def _synthesis_ola(spec_re, spec_im, kc_t, ks_t, hop, tile_r, tile_f, highest):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tile_f, n_fft), lambda i, j, k: (k, 0),
+            pl.BlockSpec((tile_f, kpad), lambda i, j, k: (k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_f, n_fft), lambda i, j, k: (k, 0),
+            pl.BlockSpec((tile_f, kpad), lambda i, j, k: (k, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_r, hop), lambda i, j, k: (i, j, 0),
+            pl.BlockSpec((1, tile_r, w), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, hop), lambda i, j, k: (i, j, 0),
+            pl.BlockSpec((1, tail_rows, w), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_r_tiles * tile_r, hop), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_r_tiles * 8, hop), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_r_tiles * tile_r, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_r_tiles * tail_rows, w), jnp.float32),
         ],
         scratch_shapes=[
             # single-f-tile mode never touches the frame-block accumulator
-            pltpu.VMEM((8, 128) if single else (tile_r, n_fft), jnp.float32),
+            pltpu.VMEM((8, 128) if single else (tile_r, kpad), jnp.float32),
             pltpu.VMEM((tile_f, tile_r), dtype),
             pltpu.VMEM((tile_f, tile_r), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * t * f * n_fft,
-            bytes_accessed=(2 * b * f_padded * t + 2 * f_padded * n_fft
-                            * n_r_tiles * b + b * rows * hop)
+            bytes_accessed=(2 * b * f_padded * t + 2 * f_padded * kpad
+                            * n_r_tiles * b + b * rows * w)
             * (4 if highest else 2),
             transcendentals=0,
         ),
         interpret=_INTERPRET,
     )(spec_re, spec_im, kc_t, ks_t)
-    if n_chunks > 1:
+    boundary = (n_chunks - 1) * q
+    if boundary:
         # fold each tile's boundary rows into the next tile's first rows
-        main = main.reshape(b, n_r_tiles, tile_r, hop)
-        tail = tail.reshape(b, n_r_tiles, 8, hop)
-        main = main.at[:, 1:, : n_chunks - 1, :].add(
-            tail[:, :-1, : n_chunks - 1, :])
-        main = main.reshape(b, -1, hop)
-    return main.reshape(b, -1)[:, : rows * hop]
+        main = main.reshape(b, n_r_tiles, tile_r, w)
+        tail = tail.reshape(b, n_r_tiles, tail_rows, w)
+        main = main.at[:, 1:, :boundary, :].add(tail[:, :-1, :boundary, :])
+        main = main.reshape(b, n_r_tiles * tile_r, w)
+    else:
+        main = main.reshape(b, n_r_tiles * tile_r, w)
+    # the API contract length; samples beyond it come only from the zero
+    # kernel-pad columns
+    length = n_fft + hop * (t - 1)
+    if q == 1:
+        return main.reshape(b, -1)[:, :length]
+    # q > 1: rows overlap by w - hop samples — combine the q phases
+    # (adjoint of the analysis _repack): rows r ≡ p (mod q) tile the line
+    # [p*hop, ...) in non-overlapping width-w segments
+    main = main[:, :rows]  # drop row-tile padding
+    m = -(-rows // q)
+    out = jnp.zeros((b, (q - 1) * hop + m * w), jnp.float32)
+    for p in range(q):
+        seg = main[:, p::q, :]
+        mp = seg.shape[1]
+        out = out.at[:, p * hop : p * hop + mp * w].add(
+            seg.reshape(b, mp * w))
+    return out[:, :length]
 
 
 def synthesis_ola_pallas(spec_re, spec_im, kc, ks, hop, highest: bool):
     """Fused iSTFT synthesis+OLA. ``kc``/``ks``: (F, n_fft) kernels with the
     window, 1/n_fft and Hermitian fold weights pre-applied.
     Returns (B, n_fft + hop*(T-1)) un-normalized signal, or None when the
-    configuration is outside the kernel envelope."""
+    configuration is outside the kernel envelope (same generalized envelope
+    as the analysis kernels: any hop with ``lcm(hop, 128)/hop <= 8``)."""
     n_fft = kc.shape[1]
-    if not (hop > 0 and n_fft % hop == 0 and hop % 128 == 0
-            and spec_re.dtype == jnp.float32
-            and n_fft // hop <= 9):  # tail block holds n_chunks-1 <= 8 rows
+    if not (hop > 0 and spec_re.dtype == jnp.float32):
         return None
+    w = hop * 128 // math.gcd(hop, 128)
+    q = w // hop
+    if q > 8:  # lcm blowup (odd/unaligned hops)
+        return None
+    n_chunks = -(-n_fft // w)
+    boundary = (n_chunks - 1) * q
+    tail_rows = max(8, -(-boundary // 8) * 8)
     if spec_re.shape[0] * spec_re.shape[2] < _MIN_FUSED_FRAMES:
         return None  # see _MIN_FUSED_FRAMES: XLA compiles 40x faster
     f = kc.shape[0]
-    n_chunks = n_fft // hop
+    kpad = n_chunks * w
     ebytes = 4 if highest else 2
     budget = _VMEM_BUDGET_HIGHEST if highest else _VMEM_BUDGET
     f_padded = f + (-f % 128)
@@ -684,16 +725,19 @@ def synthesis_ola_pallas(spec_re, spec_im, kc, ks, hop, highest: bool):
     candidates += [(tile_r, min(128, -(-f // 8) * 8))
                    for tile_r in (256, 128)]
     for tile_r, tile_f in candidates:
+        if tile_r <= boundary:  # a tile's spill must fit the next tile
+            continue
         single = tile_f == f_padded
-        fblk = 0 if single else tile_r * n_fft * 4
+        fblk = 0 if single else tile_r * kpad * 4
         # kernel-bank blocks: double-buffered unless the index map is
         # constant (single f tile — Pallas elides the second buffer)
-        kernels = (2 if single else 4) * tile_f * n_fft * ebytes
+        kernels = (2 if single else 4) * tile_f * kpad * ebytes
         slabs = 2 * tile_f * tile_r * ebytes
-        outs = 2 * (tile_r + 8) * hop * 4
+        outs = 2 * (tile_r + tail_rows) * w * 4
         if fblk + kernels + slabs + outs <= budget:
             return _synthesis_ola(spec_re, spec_im,
                                   jnp.asarray(kc, jnp.float32),
-                                  jnp.asarray(ks, jnp.float32), hop, tile_r,
-                                  tile_f, highest)
+                                  jnp.asarray(ks, jnp.float32), hop, w, q,
+                                  n_chunks, tail_rows, tile_r, tile_f,
+                                  highest)
     return None
