@@ -428,12 +428,191 @@ def _framed_filterbank(x, wcos_t, wsin_t, fb_t, hop, w, q, n_chunks, tile_t,
     return out[:, :n_mels, :t_total]
 
 
+def _magnitude_kchunk_kernel(x_hbm, wcos_ref, wsin_ref, out_ref, slab, racc,
+                             iacc, sem, *, w, q, kc, n_chunks, tile_t, bb,
+                             prec, eps, square):
+    """K-chunked magnitude kernel for single-F-tile giant banks (fp32 CQT
+    wavelets, ``n_chunks*w`` up to ~16k columns): the whole-K plan's resident
+    basis exceeds VMEM at 4 bytes/elt, so the K (chunk) axis streams through
+    the grid's innermost dimension instead — per step one ``(kc*w, tile_f)``
+    basis block arrives and ``kc`` slab slices are projected and accumulated
+    into resident fp32 accumulators; the last step applies the magnitude
+    epilogue and stores transposed. Chunk slices are taken straight from the
+    persistent slab (each chunk is touched exactly once per (batch, time)
+    tile — the round-1 per-f-tile re-slicing trap does not apply when
+    f_tiles == 1)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _load():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * bb, bb), pl.ds(j * tile_t, slab.shape[1]), :],
+            slab, sem,
+        )
+        dma.start()
+        dma.wait()
+
+    for u in range(bb):
+        r = jnp.zeros((tile_t, wcos_ref.shape[1]), jnp.float32)
+        im = jnp.zeros((tile_t, wsin_ref.shape[1]), jnp.float32)
+        for cl in range(kc):
+            # chunks past n_chunks (last-step padding) hit all-zero basis
+            # columns and contribute nothing — no guard needed, the slab
+            # covers their row span by construction.
+            # Chunk c = k*kc + cl starts at slab row c*q. Mosaic requires
+            # DYNAMIC sublane starts provably 8-aligned: the plan guarantees
+            # (kc*q) % 8 == 0, so the dynamic term k*(kc*q) is aligned and
+            # the static residual (cl*q) % 8 is taken as a static sub-slice
+            # of an 8-row-padded aligned load.
+            res8 = (cl * q) % 8
+            s8 = k * (kc * q) + cl * q - res8
+            sup = slab[u, pl.ds(s8, tile_t + 8), :]
+            chunk = sup[res8 : res8 + tile_t]
+            r = r + jnp.dot(chunk, wcos_ref[cl * w : (cl + 1) * w, :],
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            im = im + jnp.dot(chunk, wsin_ref[cl * w : (cl + 1) * w, :],
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+
+        @pl.when(k == 0)
+        def _init(u=u):
+            racc[u, :, :] = r
+            iacc[u, :, :] = im
+
+        @pl.when(k > 0)
+        def _accum(u=u):
+            racc[u, :, :] += r
+            iacc[u, :, :] += im
+
+    @pl.when(k == nk - 1)
+    def _emit():
+        for u in range(bb):
+            power = (racc[u, :, :] * racc[u, :, :]
+                     + iacc[u, :, :] * iacc[u, :, :])
+            if eps:
+                power = power + eps
+            out_ref[u, :, :] = (power if square else jnp.sqrt(power)).T
+
+
+def _plan_kchunk(b, n_fft, f, t_total, hop, highest):
+    """Plan for the K-chunked single-F-tile kernel. Only reached when the
+    whole-K ``_plan`` failed (giant fp32 banks)."""
+    if hop <= 0 or f > 128:
+        return None
+    w = hop * 128 // math.gcd(hop, 128)
+    q = w // hop
+    if q > 8:
+        return None
+    n_chunks = -(-n_fft // w)
+    if n_chunks < 2:
+        return None
+    tile_f = 128
+    ebytes = 4 if highest else 2
+    budget = _VMEM_BUDGET_HIGHEST if highest else _VMEM_BUDGET
+    # Mosaic alignment: dynamic slab starts are k*(kc*q) — provable only
+    # when kc*q % 8 == 0 (static residuals handled in-kernel)
+    kc0 = 8 // math.gcd(q, 8)
+    for tile_t in (512, 256, 128):
+        tile_t = min(tile_t, -(-t_total // 8) * 8)
+        for bb in (4, 2, 1):
+            if b % bb:
+                continue
+            for kc in (kc0, 2 * kc0, 4 * kc0):
+                if kc * w > 8192 or bb * kc > 64:
+                    continue
+                nk = -(-n_chunks // kc)
+                ncp = nk * kc
+                # +8: the aligned loads over-read up to 8 rows per chunk
+                slab_rows = -(-(tile_t + (ncp - 1) * q) // 8) * 8 + 8
+                slab = bb * slab_rows * w * ebytes
+                bases = 2 * 2 * kc * w * tile_f * ebytes
+                accs = 2 * bb * tile_t * tile_f * 4
+                outs = 2 * bb * tile_t * tile_f * 4
+                if slab + bases + accs + outs <= budget:
+                    return dict(w=w, q=q, kc=kc, n_chunks=n_chunks,
+                                tile_t=tile_t, bb=bb, slab_rows=slab_rows,
+                                nk=nk)
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop", "w", "q", "kc", "n_chunks", "tile_t", "bb",
+                     "slab_rows", "nk", "highest", "eps", "square"),
+)
+def _framed_magnitude_kchunk(x, wcos_t, wsin_t, hop, w, q, kc, n_chunks,
+                             tile_t, bb, slab_rows, nk, highest, eps=0.0,
+                             square=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, length = x.shape
+    n_fft, f = wcos_t.shape
+    tile_f = 128
+    t_total = (length - n_fft) // hop + 1
+    n_t_tiles = -(-t_total // tile_t)
+    f_pad = -f % tile_f
+    row_pad = nk * kc * w - n_fft
+    if f_pad or row_pad:
+        wcos_t = jnp.pad(wcos_t, ((0, row_pad), (0, f_pad)))
+        wsin_t = jnp.pad(wsin_t, ((0, row_pad), (0, f_pad)))
+    rows = (n_t_tiles - 1) * tile_t + slab_rows
+    x2 = _repack(x, hop, w, rows)
+    dtype = jnp.float32 if highest else jnp.bfloat16
+    x2 = x2.astype(dtype)
+    wc = wcos_t.astype(dtype)
+    ws = wsin_t.astype(dtype)
+    prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
+
+    kern = functools.partial(_magnitude_kchunk_kernel, w=w, q=q, kc=kc,
+                             n_chunks=n_chunks, tile_t=tile_t, bb=bb,
+                             prec=prec, eps=eps, square=square)
+    basis_spec = pl.BlockSpec((kc * w, tile_f), lambda i, j, k: (k, 0),
+                              memory_space=pltpu.VMEM)
+    res = pl.pallas_call(
+        kern,
+        grid=(b // bb, n_t_tiles, nk),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), basis_spec, basis_spec],
+        out_specs=pl.BlockSpec((bb, tile_f, tile_t),
+                               lambda i, j, k: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tile_f, n_t_tiles * tile_t),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bb, slab_rows, w), x2.dtype),
+            pltpu.VMEM((bb, tile_t, tile_f), jnp.float32),
+            pltpu.VMEM((bb, tile_t, tile_f), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * t_total * f * (n_chunks * w),
+            bytes_accessed=(x2.size
+                            + 2 * n_chunks * w * tile_f * (b // bb)
+                            * n_t_tiles + b * t_total * f)
+            * (4 if highest else 2),
+            transcendentals=b * t_total * f,
+        ),
+        interpret=_INTERPRET,
+    )(x2, wc, ws)
+    return res[:, :f, :t_total]
+
+
 # Mosaic kernels compile in ~60-90 s through the remote helper (vs ~2 s for
 # the XLA path) and the fused win only matters when there is real work to
 # amortize dispatch over. Below this many total output frames the XLA path
 # is used — production-sized batches (the only place the kernel's ~1.3-2x
 # matters) clear it by orders of magnitude.
 _MIN_FUSED_FRAMES = 1024
+
+# K-chunked giant-bank kernel: correct (1e-7 vs XLA on chip) but measured at
+# parity with XLA for fp32 giant banks — off by default, see the note in
+# framed_magnitude_pallas.
+_ENABLE_KCHUNK = False
 
 
 def _get_plan(x, wcos, hop, highest, n_out=1, n_mels=0):
@@ -468,14 +647,42 @@ def framed_matmul_pair_pallas(x, wcos, wsin, hop, highest: bool = True):
 def framed_magnitude_pallas(x, wcos, wsin, hop, highest: bool, eps: float = 0.0,
                             square: bool = False):
     """Fused |STFT| (or |STFT|^2 when ``square``); returns None when outside
-    the supported envelope."""
+    the supported envelope. Giant single-F-tile banks whose whole-K resident
+    plan exceeds VMEM (fp32 CQT wavelets) fall through to the K-chunked
+    streaming variant."""
     plan = _get_plan(x, wcos, hop, highest)
-    if plan is None:
+    if plan is not None:
+        wcos_t = jnp.asarray(wcos, jnp.float32).T
+        wsin_t = jnp.asarray(wsin, jnp.float32).T
+        return _framed_analysis(x, wcos_t, wsin_t, hop, highest=highest,
+                                eps=eps, square=square, **plan)
+    if not _ENABLE_KCHUNK:
+        # Measured (round 3, CQT1992v2-84 HIGHEST, interleaved runs): the
+        # K-chunked kernel is at PARITY with the XLA pair+sqrt (both
+        # ~44-51k audio-s/s, i.e. ~18 effective TFLOP/s incl. the 84->128
+        # lane padding — above the fused headline kernel's 16.4). A
+        # W-stationary (F-on-sublanes, A@B^T) orientation also measured
+        # parity (51.6k): the rhs-transpose relayout eats the M-dim
+        # savings. With no win to amortize its ~60-90s Mosaic compile,
+        # XLA keeps the giant-bank HIGHEST dispatch; the kernel stays
+        # available for future chips/toolchains.
+        return None
+    n_fft = wcos.shape[-1]
+    length = x.shape[-1]
+    if not (x.dtype == jnp.float32 and x.ndim == 2 and hop > 0
+            and length >= n_fft):
+        return None
+    t_total = (length - n_fft) // hop + 1
+    if x.shape[0] * t_total < _MIN_FUSED_FRAMES:
+        return None
+    kplan = _plan_kchunk(x.shape[0], n_fft, wcos.shape[0], t_total, hop,
+                         highest)
+    if kplan is None:
         return None
     wcos_t = jnp.asarray(wcos, jnp.float32).T
     wsin_t = jnp.asarray(wsin, jnp.float32).T
-    return _framed_analysis(x, wcos_t, wsin_t, hop, highest=highest, eps=eps,
-                            square=square, **plan)
+    return _framed_magnitude_kchunk(x, wcos_t, wsin_t, hop, highest=highest,
+                                    eps=eps, square=square, **kplan)
 
 
 def framed_filterbank_pallas(x, wcos, wsin, fb, hop, highest: bool,

@@ -470,3 +470,55 @@ def test_framed_complex_custom_vjp():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, wcos, wsin, scale)
     for a, b in zip(g1, g2):
         assert np.allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_kchunk_magnitude_interpreted():
+    """The K-chunked giant-bank kernel (single F tile, basis streamed over
+    the grid's inner axis) matches the XLA pair — exercised directly since
+    the whole-K plan would accept these small shapes."""
+    rng = np.random.RandomState(40)
+    x = jnp.asarray(rng.randn(2, 16384).astype(np.float32))
+    wcos = jnp.asarray((rng.randn(84, 8192) * 0.05).astype(np.float32))
+    wsin = jnp.asarray((rng.randn(84, 8192) * 0.05).astype(np.float32))
+    hop = 512
+    plan = framed_matmul._plan_kchunk(2, 8192, 84, (16384 - 8192) // hop + 1,
+                                      hop, True)
+    assert plan is not None and plan["nk"] > 1  # truly multi-k-step
+    framed_matmul._INTERPRET = True
+    try:
+        got = framed_matmul._framed_magnitude_kchunk(
+            x, jnp.asarray(wcos).T, jnp.asarray(wsin).T, hop, highest=True,
+            **plan)
+        got_sq = framed_matmul._framed_magnitude_kchunk(
+            x, jnp.asarray(wcos).T, jnp.asarray(wsin).T, hop, highest=True,
+            square=True, eps=1e-8, **plan)
+    finally:
+        framed_matmul._INTERPRET = False
+    real, imag = dispatch._xla_pair(x, wcos, wsin, hop)
+    want = jnp.sqrt(real ** 2 + imag ** 2)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-4), np.abs(got - want).max()
+    assert np.allclose(got_sq, real ** 2 + imag ** 2 + 1e-8, rtol=1e-4,
+                       atol=1e-4)
+
+
+def test_pallas_kchunk_generalized_hop_interpreted():
+    """K-chunked variant with a q>1 hop (repacked slab rows, dynamic chunk
+    offsets c*q)."""
+    rng = np.random.RandomState(41)
+    hop, n_fft = 320, 4096
+    x = jnp.asarray(rng.randn(1, 12000).astype(np.float32))
+    wcos = jnp.asarray((rng.randn(64, n_fft) * 0.05).astype(np.float32))
+    wsin = jnp.asarray((rng.randn(64, n_fft) * 0.05).astype(np.float32))
+    t_total = (12000 - n_fft) // hop + 1
+    plan = framed_matmul._plan_kchunk(1, n_fft, 64, t_total, hop, True)
+    assert plan is not None and plan["q"] > 1
+    framed_matmul._INTERPRET = True
+    try:
+        got = framed_matmul._framed_magnitude_kchunk(
+            x, jnp.asarray(wcos).T, jnp.asarray(wsin).T, hop, highest=True,
+            **plan)
+    finally:
+        framed_matmul._INTERPRET = False
+    real, imag = dispatch._xla_pair(x, wcos, wsin, hop)
+    want = jnp.sqrt(real ** 2 + imag ** 2)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-4), np.abs(got - want).max()
