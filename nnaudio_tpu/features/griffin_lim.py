@@ -145,42 +145,56 @@ class Griffin_Lim(SpectralTransform):
             key = jax.random.PRNGKey(0)
         b, f, t = S.shape
         rand_phase = jax.random.normal(key, (b, f, t))
-        a_re = jnp.cos(2 * np.pi * rand_phase)
-        a_im = jnp.sin(2 * np.pi * rand_phase)
         mom = self.momentum / (1 + self.momentum)
         w_sum = window_sumsquare(
             params["window_mask"], t, self.hop_length, self.n_fft
         )
+        # the loop carries c = S * a (the magnitude-imposed spectrum)
+        # directly rather than the unit phasor a: the synthesis kernel then
+        # consumes the carry as-is, and the S multiply rides the fused
+        # normalize chain (scale = S/|n|) instead of being a separate
+        # read-S-read-a-write pass over (B, F, T) x2 per iteration.
+        # In the bf16 iter mode the carries are also STORED bf16 — GL is a
+        # fixed-point projection (rounding does not accumulate; SNR-tested),
+        # and halving the carry bytes halves the loop's elementwise and
+        # kernel-input HBM traffic.
+        from ..config import get_config, set_matmul_precision
+
+        prev = get_config().matmul_precision
+        carry_dtype = (jnp.bfloat16 if self.iter_precision == "default"
+                       else jnp.float32)
+        c_re = (S * jnp.cos(2 * np.pi * rand_phase)).astype(carry_dtype)
+        c_im = (S * jnp.sin(2 * np.pi * rand_phase)).astype(carry_dtype)
 
         def body(_, carry):
-            a_re, a_im, p_re, p_im = carry
-            inverse = self._istft_planar(params, S * a_re, S * a_im, w_sum)
+            c_re, c_im, p_re, p_im = carry
+            inverse = self._istft_planar(params, c_re, c_im, w_sum)
             if self.center:
                 inverse = pad_signal(inverse, self.pad_amount, self.pad_mode)
             r_re, r_im_raw = framed_basis_pair(
                 inverse, params["wcos"], params["wsin"], self.hop_length
             )
             r_im = -r_im_raw
-            n_re = r_re - mom * p_re
-            n_im = r_im - mom * p_im
-            norm = jnp.sqrt(n_re * n_re + n_im * n_im) + 1e-16
-            return n_re / norm, n_im / norm, r_re, r_im
+            n_re = r_re - mom * p_re.astype(jnp.float32)
+            n_im = r_im - mom * p_im.astype(jnp.float32)
+            scale = S * jax.lax.rsqrt(n_re * n_re + n_im * n_im + 1e-32)
+            return ((n_re * scale).astype(carry_dtype),
+                    (n_im * scale).astype(carry_dtype),
+                    r_re.astype(carry_dtype), r_im.astype(carry_dtype))
 
         # trace the loop body at iter_precision (without ever raising the
         # ambient setting); the final synthesis below re-traces at ambient
-        from ..config import get_config, set_matmul_precision
-
-        prev = get_config().matmul_precision
         if prev == "highest" and self.iter_precision == "default":
             set_matmul_precision("default")
         try:
-            a_re, a_im, _, _ = jax.lax.fori_loop(
+            c_re, c_im, _, _ = jax.lax.fori_loop(
                 0, self.n_iter, body,
-                (a_re, a_im, jnp.zeros_like(a_re), jnp.zeros_like(a_im)),
+                (c_re, c_im, jnp.zeros_like(c_re), jnp.zeros_like(c_im)),
             )
         finally:
             set_matmul_precision(prev)
-        return self._istft_planar(params, S * a_re, S * a_im, w_sum)
+        return self._istft_planar(
+            params, c_re.astype(jnp.float32), c_im.astype(jnp.float32), w_sum)
 
     def __call__(self, S, key=None):
         return self.apply(None, S, key=key)

@@ -908,7 +908,11 @@ def synthesis_ola_pallas(spec_re, spec_im, kc, ks, hop, highest: bool):
     configuration is outside the kernel envelope (same generalized envelope
     as the analysis kernels: any hop with ``lcm(hop, 128)/hop <= 8``)."""
     n_fft = kc.shape[1]
-    if not (hop > 0 and spec_re.dtype == jnp.float32):
+    # bf16 spectra are accepted in the bf16 kernel mode (the kernel stores
+    # operands bf16 anyway — Griffin-Lim's bf16 loop carries feed directly)
+    ok_dtype = (spec_re.dtype == jnp.float32
+                or (not highest and spec_re.dtype == jnp.bfloat16))
+    if not (hop > 0 and ok_dtype):
         return None
     w = hop * 128 // math.gcd(hop, 128)
     q = w // hop

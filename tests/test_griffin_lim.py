@@ -63,3 +63,32 @@ def test_griffin_lim_center_false():
     out = np.asarray(gl(S))
     assert out.shape == (1, 512 + 128 * 8)
     assert np.isfinite(out).all()
+
+
+def test_griffin_lim_bf16_carries_match_fp32_snr():
+    """iter_precision='default' stores the loop carries in bf16 (round 3:
+    halves the loop's elementwise + kernel-input HBM traffic). GL is a
+    fixed-point projection, so per-iteration rounding must not degrade the
+    reconstruction: both precisions must land at the same spectral error."""
+    n_fft, hop = 1024, 256
+    x = _sine_mixture()
+    stft = features.STFT(n_fft=n_fft, hop_length=hop, output_format="Magnitude",
+                         verbose=False)
+    S = stft(x[None])
+
+    def spec_err(rec):
+        S_rec = np.asarray(stft(rec[None]))[0]
+        S_in = np.asarray(S)[0][:, : S_rec.shape[1]]
+        S_rec = S_rec[:, : S_in.shape[1]]
+        return np.linalg.norm(S_rec - S_in) / np.linalg.norm(S_in)
+
+    errs = {}
+    for ip in ("default", "highest"):
+        gl = features.Griffin_Lim(n_fft=n_fft, hop_length=hop, n_iter=32,
+                                  iter_precision=ip)
+        rec = np.asarray(gl(S, key=jax.random.PRNGKey(42)))[0]
+        errs[ip] = spec_err(rec)
+    assert errs["default"] < 0.15, errs
+    assert errs["highest"] < 0.15, errs
+    # same quality class (reference round-2 measurement: 0.0895 vs 0.0896)
+    assert abs(errs["default"] - errs["highest"]) < 0.02, errs
