@@ -522,3 +522,88 @@ def test_pallas_kchunk_generalized_hop_interpreted():
     real, imag = dispatch._xla_pair(x, wcos, wsin, hop)
     want = jnp.sqrt(real ** 2 + imag ** 2)
     assert np.allclose(got, want, rtol=1e-4, atol=1e-4), np.abs(got - want).max()
+
+
+def test_pallas_gl_step_interpreted():
+    """Fused Griffin-Lim step == pair + momentum + normalize + S-scale."""
+    rng = np.random.RandomState(50)
+    b, n_fft, hop, L = 2, 512, 128, 8192
+    f = n_fft // 2 + 1
+    x = jnp.asarray(rng.randn(b, L).astype(np.float32))
+    wcos = jnp.asarray(rng.randn(f, n_fft).astype(np.float32) * 0.05)
+    wsin = jnp.asarray(rng.randn(f, n_fft).astype(np.float32) * 0.05)
+    plan = framed_matmul.gl_step_plan(b, L, f, n_fft, hop)
+    assert plan is not None
+    fp, tp = plan["f_padded"], plan["t_padded"]
+    t = (L - n_fft) // hop + 1
+    S = jnp.asarray(np.abs(rng.randn(b, fp, tp)).astype(np.float32))
+    S = S.at[:, f:, :].set(0.0).at[:, :, t:].set(0.0)
+    p_re = jnp.asarray(rng.randn(b, fp, tp).astype(np.float32)).astype(jnp.bfloat16)
+    p_im = jnp.asarray(rng.randn(b, fp, tp).astype(np.float32)).astype(jnp.bfloat16)
+    mom = 0.99 / 1.99
+    static_plan = {k: plan[k] for k in ("w", "q", "n_chunks", "tile_t",
+                                        "tile_f", "bb", "slab_rows",
+                                        "t_padded", "f_padded")}
+    framed_matmul._INTERPRET = True
+    try:
+        c_re, c_im, r_re, r_im = framed_matmul._framed_gl_step(
+            x, wcos.T, wsin.T, S, p_re, p_im, hop, mom=mom, **static_plan)
+    finally:
+        framed_matmul._INTERPRET = False
+
+    real, imag = dispatch._xla_pair(x, wcos, wsin, hop)
+    w_rre, w_rim = real, -imag
+    n_re = w_rre - mom * np.asarray(p_re[:, :f, :t], np.float32)
+    n_im = w_rim - mom * np.asarray(p_im[:, :f, :t], np.float32)
+    scale = np.asarray(S[:, :f, :t]) / np.sqrt(n_re**2 + n_im**2 + 1e-32)
+    tol = dict(rtol=2e-2, atol=2e-2)  # bf16 outputs vs fp32 chain
+    assert np.allclose(np.asarray(c_re[:, :f, :t], np.float32),
+                       n_re * scale, **tol)
+    assert np.allclose(np.asarray(c_im[:, :f, :t], np.float32),
+                       n_im * scale, **tol)
+    assert np.allclose(np.asarray(r_re[:, :f, :t], np.float32), w_rre, **tol)
+    assert np.allclose(np.asarray(r_im[:, :f, :t], np.float32), w_rim, **tol)
+    # padded region carries must be exactly zero (S pad = 0)
+    assert not np.isnan(np.asarray(c_re, np.float32)).any()
+    assert (np.asarray(c_re[:, f:, :], np.float32) == 0).all()
+    assert (np.asarray(c_re[:, :, t:], np.float32) == 0).all()
+
+
+def test_gl_fused_forward_interpreted_matches_xla_path():
+    """Whole fused GL loop (interpret mode) lands at the same spectral
+    error as the XLA-chain loop."""
+    from nnaudio_tpu import features
+
+    sr, n_fft, hop = 16000, 512, 128
+    tt = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 440 * tt).astype(np.float32)
+    stft = features.STFT(n_fft=n_fft, hop_length=hop,
+                         output_format="Magnitude", verbose=False)
+    S = stft(x[None])
+    gl = features.Griffin_Lim(n_fft=n_fft, hop_length=hop, n_iter=16)
+    p = {k: jnp.asarray(v) for k, v in gl._params.items()}
+    key = jax.random.PRNGKey(3)
+    rec_xla = np.asarray(jax.jit(gl._forward)(p, jnp.asarray(S), key))[0]
+
+    b, f, t = S.shape
+    plan = framed_matmul.gl_step_plan(b, n_fft + hop * (t - 1), f, n_fft, hop)
+    assert plan is not None
+    rand_phase = jax.random.normal(key, (b, f, t))
+    mom = gl.momentum / (1 + gl.momentum)
+    framed_matmul._INTERPRET = True
+    try:
+        rec_fused = np.asarray(jax.jit(
+            lambda pp, SS, rp: gl._forward_fused(pp, SS, rp, mom, plan)
+        )(p, jnp.asarray(S), rand_phase))[0]
+    finally:
+        framed_matmul._INTERPRET = False
+
+    def spec_err(rec):
+        S_rec = np.asarray(stft(rec[None]))[0]
+        S_in = np.asarray(S)[0][:, : S_rec.shape[1]]
+        return (np.linalg.norm(S_rec[:, : S_in.shape[1]] - S_in)
+                / np.linalg.norm(S_in))
+
+    e_xla, e_fused = spec_err(rec_xla), spec_err(rec_fused)
+    assert e_fused < 0.25, (e_fused, e_xla)
+    assert abs(e_fused - e_xla) < 0.05, (e_fused, e_xla)
