@@ -14,13 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import dot_precision
 from ..core.frame import pad_signal
-from ..core.overlap import (
-    normalize_by_window_envelope,
-    overlap_add,
-    window_sumsquare,
-)
+from ..core.overlap import normalize_by_window_envelope, window_sumsquare
 from ..filters.fourier import create_fourier_basis
 from ..filters.windows import pad_center, window_dispatch
 from ..ops.dispatch import framed_basis_pair, synthesis_ola

@@ -26,7 +26,6 @@ from ..core.apply import phase_atan
 from ..core.overlap import (
     extend_fbins,
     normalize_by_window_envelope,
-    overlap_add,
     window_sumsquare,
 )
 from ..ops.dispatch import (
@@ -36,7 +35,6 @@ from ..ops.dispatch import (
     framed_power,
     synthesis_ola,
 )
-from ..config import dot_precision
 from .base import SpectralTransform
 
 
