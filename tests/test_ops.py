@@ -569,18 +569,20 @@ def test_pallas_gl_step_interpreted():
     assert (np.asarray(c_re[:, :, t:], np.float32) == 0).all()
 
 
-def test_gl_fused_forward_interpreted_matches_xla_path():
+@pytest.mark.parametrize("center", [True, False])
+def test_gl_fused_forward_interpreted_matches_xla_path(center):
     """Whole fused GL loop (interpret mode) lands at the same spectral
-    error as the XLA-chain loop."""
+    error as the XLA-chain loop, centered and not."""
     from nnaudio_tpu import features
 
     sr, n_fft, hop = 16000, 512, 128
     tt = np.arange(sr) / sr
     x = np.sin(2 * np.pi * 440 * tt).astype(np.float32)
-    stft = features.STFT(n_fft=n_fft, hop_length=hop,
+    stft = features.STFT(n_fft=n_fft, hop_length=hop, center=center,
                          output_format="Magnitude", verbose=False)
     S = stft(x[None])
-    gl = features.Griffin_Lim(n_fft=n_fft, hop_length=hop, n_iter=16)
+    gl = features.Griffin_Lim(n_fft=n_fft, hop_length=hop, n_iter=16,
+                              center=center)
     p = {k: jnp.asarray(v) for k, v in gl._params.items()}
     key = jax.random.PRNGKey(3)
     rec_xla = np.asarray(jax.jit(gl._forward)(p, jnp.asarray(S), key))[0]
