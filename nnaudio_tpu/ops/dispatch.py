@@ -275,6 +275,25 @@ def _mag_bwd(hop, eps, res, g):
 framed_magnitude.defvjp(_mag_fwd, _mag_bwd)
 
 
+def synthesis_auto_fuse(hop: int, n_fft: int, matmul_precision: str) -> bool:
+    """Auto policy for the fused synthesis+OLA kernel (round-3
+    measurements, batch 32):
+
+    - fast (bf16) mode: the fused kernel always wins (73.5k vs 66.2k
+      audio-s/s even at the aligned headline config);
+    - fp32 modes (highest/tensorfloat32): the kernel wins only where XLA's
+      scatter-OLA collapses — misaligned hops (q > 1: 56.8k vs 31.0k at
+      512/160) or deep overlap (16 chunks: 9.4k vs 8.7k); at the aligned
+      small-overlap headline XLA stays (46.0k vs 34.2k).
+    """
+    if matmul_precision == "default":
+        return True
+    import math
+
+    w = hop * 128 // math.gcd(hop, 128)
+    return w // hop > 1 or -(-n_fft // w) > 9
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def synthesis_ola(spec_re, spec_im, kc, ks, hop):
     """Fused iSTFT synthesis: (B, F, T) spectra x (F, n_fft) fully-weighted
@@ -284,20 +303,7 @@ def synthesis_ola(spec_re, spec_im, kc, ks, hop):
     cfg = get_config()
     use_syn = cfg.use_pallas_synthesis
     if use_syn is None:
-        # auto policy (round-3 measurements, batch 32):
-        # - fast (bf16) mode: the fused kernel always wins (73.5k vs 66.2k
-        #   even at the aligned headline config);
-        # - fp32 modes (highest/tensorfloat32): the kernel wins only where
-        #   XLA's scatter-OLA collapses — misaligned hops (q > 1: 56.8k vs
-        #   31.0k at 512/160) or deep overlap (16 chunks: 9.4k vs 8.7k);
-        #   at the aligned small-overlap headline XLA stays (46.0k vs 34.2k)
-        if cfg.matmul_precision == "default":
-            use_syn = True
-        else:
-            import math
-
-            w = hop * 128 // math.gcd(hop, 128)
-            use_syn = w // hop > 1 or -(-kc.shape[1] // w) > 9
+        use_syn = synthesis_auto_fuse(hop, kc.shape[1], cfg.matmul_precision)
     if on_tpu() and cfg.use_pallas and use_syn:
         from .framed_matmul import synthesis_ola_pallas
 

@@ -609,3 +609,15 @@ def test_gl_fused_forward_interpreted_matches_xla_path(center):
     e_xla, e_fused = spec_err(rec_xla), spec_err(rec_fused)
     assert e_fused < 0.25, (e_fused, e_xla)
     assert abs(e_fused - e_xla) < 0.05, (e_fused, e_xla)
+
+
+def test_synthesis_auto_fuse_policy():
+    """The measured round-3 dispatch policy: fast always fuses; fp32 modes
+    fuse exactly where XLA's scatter-OLA collapses (q > 1 or > 9 chunks)."""
+    pol = dispatch.synthesis_auto_fuse
+    assert pol(512, 2048, "default") is True
+    assert pol(512, 2048, "highest") is False        # aligned headline: XLA
+    assert pol(160, 512, "highest") is True          # q = 4
+    assert pol(320, 2048, "tensorfloat32") is True   # q = 2
+    assert pol(128, 2048, "highest") is True         # 16 chunks
+    assert pol(256, 2048, "highest") is False        # aligned, 8 chunks

@@ -57,6 +57,10 @@ SIG = np.random.RandomState(7).randn(2, 16000).astype(np.float32)
          fmin=50, fmax=6000, sr=16000),
     dict(n_fft=1024, freq_bins=128, hop_length=256, freq_scale="log",
          fmin=50, fmax=6000, sr=16000),
+    dict(n_fft=1024, freq_bins=128, hop_length=256, freq_scale="log2",
+         fmin=50, fmax=6000, sr=16000),
+    dict(n_fft=1024, hop_length=256, window="hamming"),
+    dict(n_fft=1024, hop_length=256, window="blackman"),
 ])
 def test_stft_parity(ref, torchmod, kw):
     from nnaudio_tpu import features
@@ -76,6 +80,27 @@ def test_stft_magnitude_parity(ref, torchmod):
     theirs = ref.STFT(n_fft=1024, hop_length=256, output_format="Magnitude",
                       verbose=False)
     close(np.asarray(ours(SIG)), theirs(torchmod.tensor(SIG)).numpy())
+
+
+def test_stft_phase_parity(ref, torchmod):
+    """Scalar atan2 Phase output (reference quirk: atan2(-imag+0.0, real),
+    stft.py:313-316); compared only where the magnitude is significant
+    (phase is meaningless at numerical-zero bins)."""
+    from nnaudio_tpu import features
+
+    ours = features.STFT(n_fft=1024, hop_length=256, output_format="Phase",
+                         verbose=False)
+    theirs = ref.STFT(n_fft=1024, hop_length=256, output_format="Phase",
+                      verbose=False)
+    got = np.asarray(ours(SIG))
+    want = theirs(torchmod.tensor(SIG)).numpy()
+    mag = np.asarray(features.STFT(n_fft=1024, hop_length=256,
+                                   output_format="Magnitude",
+                                   verbose=False)(SIG))
+    mask = mag > 1e-2 * mag.max()
+    # compare phases on the unit circle (avoids the ±pi wrap)
+    d = np.abs(np.exp(1j * got) - np.exp(1j * want))[mask]
+    assert d.max() < 1e-2, d.max()
 
 
 def test_istft_parity(ref, torchmod):
