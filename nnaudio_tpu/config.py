@@ -29,6 +29,10 @@ class _Config:
     # or >9-chunk overlaps — while the aligned headline keeps XLA (46.0k
     # vs 34.2k). True/False force it.
     use_pallas_synthesis: bool | None = None
+    # Fused CQT2010/CQT2010v2/VQT pyramid: all octaves' projections in one
+    # batched einsum instead of 7 ill-shaped per-octave dispatches
+    # (ops/pyramid.py). None = auto (on). True/False force it.
+    use_fused_pyramid: bool | None = None
 
 
 _config = _Config()
@@ -46,6 +50,10 @@ def set_matmul_precision(mode: str) -> None:
 
 def set_use_pallas(flag: bool) -> None:
     _config.use_pallas = bool(flag)
+
+
+def set_use_fused_pyramid(flag: bool | None) -> None:
+    _config.use_fused_pyramid = flag if flag is None else bool(flag)
 
 
 @contextlib.contextmanager
@@ -76,6 +84,7 @@ def cache_salt() -> tuple:
         _config.matmul_precision,
         _config.use_pallas,
         _config.use_pallas_synthesis,
+        _config.use_fused_pyramid,
     )
 
 

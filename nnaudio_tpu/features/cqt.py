@@ -31,6 +31,7 @@ from ..core.resample import downsample_by_n
 from ..filters.cqt import create_cqt_kernels, create_lowpass_filter, early_downsample_params
 from ..filters.fourier import create_fourier_basis
 from ..ops.dispatch import framed_basis_pair, framed_complex, framed_magnitude
+from ..ops.pyramid import pyramid_basis_pair, pyramid_enabled
 from .base import SpectralTransform
 
 
@@ -503,6 +504,34 @@ class _PyramidCQT(SpectralTransform):
         self.hop_length = hop_length
         return Q, sr, n_filters
 
+    def _pyramid_chain(self, params, x):
+        """Downsampled signal + hop per octave, top octave first — the chain
+        is shared by the fused whole-pyramid path and the per-octave loop."""
+        hop = self.hop_length
+        levels, hops = [x], [hop]
+        x_down = x
+        for _ in range(self.n_octaves - 1):
+            hop //= 2
+            x_down = downsample_by_n(x_down, params["lowpass_filter"], 2)
+            levels.append(x_down)
+            hops.append(hop)
+        return levels, hops
+
+    def _fused_pyramid(self, levels, hops, bank_real, bank_imag):
+        """One batched contraction for every octave (ops/pyramid.py): the
+        2010-family shares a single top-octave bank, applied deepest level
+        first to match the reference's bin assembly. ``None`` when the
+        fused path's static preconditions fail."""
+        if not pyramid_enabled():
+            return None
+        n = self.n_octaves
+        padded = [
+            _center_pad(lv, self.n_fft // 2, self.pad_mode) for lv in levels
+        ]
+        return pyramid_basis_pair(
+            padded[::-1], [bank_real] * n, [bank_imag] * n, hops[::-1]
+        )
+
 
 class CQT2010(_PyramidCQT):
     """Schörkhuber–Klapuri multi-octave CQT with a frequency-domain
@@ -652,16 +681,20 @@ class CQT2010(_PyramidCQT):
             x = downsample_by_n(
                 x, params["early_downsample_filter"], int(self.downsample_factor)
             )
-        hop = self.hop_length
-        real, imag = self._octave_cqt(params, x, hop)
-
-        x_down = x
-        for _ in range(self.n_octaves - 1):
-            hop = hop // 2
-            x_down = downsample_by_n(x_down, params["lowpass_filter"], 2)
-            r1, i1 = self._octave_cqt(params, x_down, hop)
-            real = jnp.concatenate((r1, real), axis=1)
-            imag = jnp.concatenate((i1, imag), axis=1)
+        levels, hops = self._pyramid_chain(params, x)
+        fused = None
+        if not self.trainable:
+            fused = self._fused_pyramid(
+                levels, hops, params["combined_real"], params["combined_imag"]
+            )
+        if fused is not None:
+            real, imag = fused  # un-negated stack (utils.py:548-559)
+        else:
+            real, imag = self._octave_cqt(params, levels[0], hops[0])
+            for lv, h in zip(levels[1:], hops[1:]):
+                r1, i1 = self._octave_cqt(params, lv, h)
+                real = jnp.concatenate((r1, real), axis=1)
+                imag = jnp.concatenate((i1, imag), axis=1)
 
         real, imag = real[:, -self.n_bins :], imag[:, -self.n_bins :]
 
@@ -805,16 +838,19 @@ class CQT2010v2(_PyramidCQT):
             x = downsample_by_n(
                 x, params["early_downsample_filter"], int(self.downsample_factor)
             )
-        hop = self.hop_length
-        real, imag = self._octave_cqt(params, x, hop)
-
-        x_down = x
-        for _ in range(self.n_octaves - 1):
-            hop = hop // 2
-            x_down = downsample_by_n(x_down, params["lowpass_filter"], 2)
-            r1, i1 = self._octave_cqt(params, x_down, hop)
-            real = jnp.concatenate((r1, real), axis=1)
-            imag = jnp.concatenate((i1, imag), axis=1)
+        levels, hops = self._pyramid_chain(params, x)
+        fused = self._fused_pyramid(
+            levels, hops, params["cqt_kernels_real"], params["cqt_kernels_imag"]
+        )
+        if fused is not None:
+            # negated at the conv, like the reference (utils.py:518-519)
+            real, imag = fused[0], -fused[1]
+        else:
+            real, imag = self._octave_cqt(params, levels[0], hops[0])
+            for lv, h in zip(levels[1:], hops[1:]):
+                r1, i1 = self._octave_cqt(params, lv, h)
+                real = jnp.concatenate((r1, real), axis=1)
+                imag = jnp.concatenate((i1, imag), axis=1)
 
         real, imag = real[:, -self.n_bins :], imag[:, -self.n_bins :]
         real = real * self.downsample_factor

@@ -25,6 +25,7 @@ from ..core.frame import broadcast_dim
 from ..core.resample import downsample_by_n
 from ..filters.cqt import create_cqt_kernels, create_lowpass_filter, early_downsample_params
 from ..ops.dispatch import framed_basis_pair
+from ..ops.pyramid import pyramid_basis_pair, pyramid_enabled
 from .base import SpectralTransform
 from .cqt import _center_pad, _check_norm_type, _cqt_output
 
@@ -194,22 +195,43 @@ class VQT(SpectralTransform):
             )
         hop = self.hop_length
 
-        reals, imags = [], []
+        levels, hops = [], []
         x_down = x
         for i in range(self.n_octaves):
             if i > 0:
                 x_down = downsample_by_n(x_down, params["lowpass_filter"], 2)
                 hop //= 2
             pad = self._octave_widths[i] // 2
-            xo = _center_pad(x_down, pad, self.pad_mode)
-            real, imag_raw = framed_basis_pair(
-                xo, params[f"cqt_kernels_real_{i}"], params[f"cqt_kernels_imag_{i}"], hop
-            )
-            reals.insert(0, real)
-            imags.insert(0, -imag_raw)
+            levels.append(_center_pad(x_down, pad, self.pad_mode))
+            hops.append(hop)
 
-        real = jnp.concatenate(reals, axis=1)[:, -self.n_bins :]
-        imag = jnp.concatenate(imags, axis=1)[:, -self.n_bins :]
+        fused = None
+        if pyramid_enabled():
+            # deepest octave first: the reference assembles bins via
+            # insert(0, ...) (vqt.py:85-117)
+            fused = pyramid_basis_pair(
+                levels[::-1],
+                [params[f"cqt_kernels_real_{i}"]
+                 for i in reversed(range(self.n_octaves))],
+                [params[f"cqt_kernels_imag_{i}"]
+                 for i in reversed(range(self.n_octaves))],
+                hops[::-1],
+            )
+        if fused is not None:
+            real, imag_raw = fused
+            real = real[:, -self.n_bins :]
+            imag = -imag_raw[:, -self.n_bins :]
+        else:
+            reals, imags = [], []
+            for i in range(self.n_octaves):
+                r, im_raw = framed_basis_pair(
+                    levels[i], params[f"cqt_kernels_real_{i}"],
+                    params[f"cqt_kernels_imag_{i}"], hops[i]
+                )
+                reals.insert(0, r)
+                imags.insert(0, -im_raw)
+            real = jnp.concatenate(reals, axis=1)[:, -self.n_bins :]
+            imag = jnp.concatenate(imags, axis=1)[:, -self.n_bins :]
         real = real * self.downsample_factor
         imag = imag * self.downsample_factor
 
