@@ -10,7 +10,8 @@ continuity).
 Metrics follow BASELINE.md "Targets for the TPU build":
   - STFT n_fft=2048 hop=512 magnitude (headline) + fast bf16 mode
   - MelSpectrogram(128) and MFCC(20), batched
-  - CQT1992v2 (84 bins) and VQT (84 bins, 12/octave)
+  - CQT1992v2, CQT2010v2 and VQT (84 bins, 12/octave) + fast modes
+  - CFP at its reference rate (fs=16k, hop=320)
   - iSTFT and Griffin-Lim (32 iters, on-device lax.fori_loop)
   - trainable STFT end-to-end train step (forward+grad+SGD update)
   - STFT magnitude max-abs-err vs the live reference (accuracy row)
@@ -152,6 +153,35 @@ def tpu_metrics() -> dict[str, dict]:
     out["vqt"] = _thr(_timeit(
         lambda xx: vq._forward(vp, xx, output_format="Magnitude",
                                normalization_type="librosa"), x))
+    with fast_mode():
+        vqf = features.VQT(sr=SR, hop_length=HOP, n_bins=84,
+                           bins_per_octave=12, gamma=2, verbose=False)
+        vfp = dict(vqf._params)
+        out["vqt_fast"] = _thr(_timeit(
+            lambda xx: vqf._forward(vfp, xx, output_format="Magnitude",
+                                    normalization_type="librosa"), x))
+
+    c10 = features.CQT2010v2(sr=SR, hop_length=HOP, n_bins=84,
+                             bins_per_octave=12, verbose=False)
+    cp10 = dict(c10._params)
+    out["cqt2010v2"] = _thr(_timeit(
+        lambda xx: c10._forward(cp10, xx, output_format="Magnitude",
+                                normalization_type="librosa"), x))
+    with fast_mode():
+        c10f = features.CQT2010v2(sr=SR, hop_length=HOP, n_bins=84,
+                                  bins_per_octave=12, verbose=False)
+        cp10f = dict(c10f._params)
+        out["cqt2010v2_fast"] = _thr(_timeit(
+            lambda xx: c10f._forward(cp10f, xx, output_format="Magnitude",
+                                     normalization_type="librosa"), x))
+
+    # CFP runs at its reference sampling rate (16 kHz); audio-s rescaled
+    cfp_x = jax.device_put(
+        np.random.RandomState(2).randn(BATCH, 160000).astype(np.float32))
+    cfp = features.Combined_Frequency_Periodicity(fs=16000, hop_length=320)
+    cfpp = dict(cfp._params)
+    out["cfp"] = _thr(_timeit(
+        lambda xx: cfp._forward(cfpp, xx), cfp_x, iters=4))
 
     X = jax.device_put(np.asarray(st._forward(sp, x, output_format="Complex")))
     ist = features.iSTFT(n_fft=N_FFT, hop_length=HOP, verbose=False)
@@ -300,6 +330,15 @@ def reference_metrics(ref_feat, torch) -> dict[str, float]:
             lambda: ref_feat.VQT(sr=SR, hop_length=HOP, n_bins=84,
                                  bins_per_octave=12, gamma=2, verbose=False),
             lambda m: m(x))
+    attempt("cqt2010v2",
+            lambda: ref_feat.CQT2010v2(sr=SR, hop_length=HOP, n_bins=84,
+                                       bins_per_octave=12, verbose=False),
+            lambda m: m(x))
+    x16 = torch.randn(b, 160000)
+    attempt("cfp",
+            lambda: ref_feat.Combined_Frequency_Periodicity(fs=16000,
+                                                            hop_length=320),
+            lambda m: m(x16))
 
     stc = ref_feat.STFT(n_fft=N_FFT, hop_length=HOP, output_format="Complex",
                         iSTFT=True, verbose=False)
@@ -333,7 +372,7 @@ def reference_metrics(ref_feat, torch) -> dict[str, float]:
 
     attempt("train_step", build_train, run_train, iters=1, grad=True)
     # fast-mode rows compare against the same fp32 reference (it has none)
-    for key in ("mel", "cqt1992v2", "train_step"):
+    for key in ("mel", "cqt1992v2", "train_step", "vqt", "cqt2010v2"):
         if key in out:
             out[key + "_fast"] = out[key]
     return out
@@ -346,6 +385,10 @@ NAMES = {
     "cqt1992v2": "cqt1992v2_throughput_84bins",
     "cqt1992v2_fast": "cqt1992v2_fast_bf16_throughput_84bins",
     "vqt": "vqt_throughput_84bins_gamma2",
+    "vqt_fast": "vqt_fast_bf16_throughput_84bins_gamma2",
+    "cqt2010v2": "cqt2010v2_throughput_84bins",
+    "cqt2010v2_fast": "cqt2010v2_fast_bf16_throughput_84bins",
+    "cfp": "cfp_throughput_fs16k",
     "istft": "istft_throughput_n2048_h512",
     "griffin_lim": "griffin_lim_throughput_32iters",
     "train_step": "trainable_stft_train_step_throughput",
