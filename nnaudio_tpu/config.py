@@ -33,6 +33,10 @@ class _Config:
     # batched einsum instead of 7 ill-shaped per-octave dispatches
     # (ops/pyramid.py). None = auto (on). True/False force it.
     use_fused_pyramid: bool | None = None
+    # MXU-staged real FFT for CFP's interior transforms (ops/mxu_fft.py).
+    # None = auto (TPU only — CPU pocketfft is already fast). True/False
+    # force it.
+    use_mxu_fft: bool | None = None
 
 
 _config = _Config()
@@ -54,6 +58,10 @@ def set_use_pallas(flag: bool) -> None:
 
 def set_use_fused_pyramid(flag: bool | None) -> None:
     _config.use_fused_pyramid = flag if flag is None else bool(flag)
+
+
+def set_use_mxu_fft(flag: bool | None) -> None:
+    _config.use_mxu_fft = flag if flag is None else bool(flag)
 
 
 @contextlib.contextmanager
@@ -85,6 +93,7 @@ def cache_salt() -> tuple:
         _config.use_pallas,
         _config.use_pallas_synthesis,
         _config.use_fused_pyramid,
+        _config.use_mxu_fft,
     )
 
 

@@ -34,6 +34,7 @@ from scipy.signal.windows import blackmanharris
 
 from ..config import dot_precision
 from ..core.apply import project
+from ..ops.mxu_fft import mxu_fft_enabled, rfft_mxu
 from ..core.frame import broadcast_dim, frame_signal
 from ..filters.cfp import cfp_logfreq_matrices
 from ..filters.windows import pad_center
@@ -198,12 +199,20 @@ class Combined_Frequency_Periodicity(SpectralTransform):
 
         def dft_interior(v, in_cutoff):
             # symmetrize -> rfft -> keep half: the XLA FFT beats a dense
-            # (half, half) HIGHEST matmul here (2.9 vs 3.9 ms full-CFP)
+            # (half, half) HIGHEST matmul here (2.9 vs 3.9 ms full-CFP);
+            # on TPU the staged MXU rfft replaces the slow XLA FFT lowering
+            # (ops/mxu_fft.py)
             if self.N % 2 == 0:
                 full = jnp.concatenate((v, v[..., 1:-1][..., ::-1]), -1)
             else:
                 full = jnp.concatenate((v, v[..., 1:][..., ::-1]), -1)
-            out = jnp.fft.rfft(full, axis=-1).real
+            out = None
+            if mxu_fft_enabled():
+                pair = rfft_mxu(full)
+                if pair is not None:
+                    out = pair[0]
+            if out is None:
+                out = jnp.fft.rfft(full, axis=-1).real
             return phantom(v, out, in_cutoff) / sqrt_n
 
         def dft_final(v, in_cutoff):
@@ -233,7 +242,13 @@ class Combined_Frequency_Periodicity(SpectralTransform):
         redundant (see module docstring) and never built here."""
         x = jnp.pad(x, ((0, 0), (self.N // 2, self.N // 2)))
         frames = frame_signal(x, self.N, self.hop_length)  # (B, T, N)
-        X = jnp.fft.rfft(frames * params["h"][None, None, :], axis=-1)
+        windowed = frames * params["h"][None, None, :]
+        if mxu_fft_enabled():
+            pair = rfft_mxu(windowed)
+            if pair is not None:
+                re, im = pair
+                return jnp.sqrt(re * re + im * im) / self.h_norm
+        X = jnp.fft.rfft(windowed, axis=-1)
         return jnp.abs(X) / self.h_norm  # (B, T, N//2+1)
 
     # ------------------------------------------------------------- forward --
