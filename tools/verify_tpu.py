@@ -94,6 +94,43 @@ def main():
     cqt = np.asarray(features.CQT1992v2(sr=22050, verbose=False)(x))
     check("cqt_finite", bool(np.isfinite(cqt).all()), f"shape={cqt.shape}")
 
+    # fused pyramid (round 3b): on-chip fused == per-octave loop
+    from nnaudio_tpu.config import set_use_fused_pyramid, set_use_mxu_fft
+
+    vq = features.VQT(sr=22050, hop_length=512, n_bins=84, gamma=2,
+                      verbose=False)
+    xb2 = rng.standard_normal((2, 44100)).astype(np.float32)
+    set_use_fused_pyramid(True)
+    vf = np.asarray(vq(xb2))
+    set_use_fused_pyramid(False)
+    vl = np.asarray(vq(xb2))
+    set_use_fused_pyramid(None)
+    rel = np.abs(vf - vl).max() / (np.abs(vl).max() + 1e-12)
+    check("vqt_fused_pyramid_vs_loop", rel < 1e-4, f"rel_err={rel:.2e}")
+
+    # MXU-staged rfft (round 3b) vs numpy
+    from nnaudio_tpu.ops.mxu_fft import rfft_mxu
+
+    xr = rng.standard_normal((4, 8000)).astype(np.float32)
+    pair = rfft_mxu(jnp.asarray(xr))
+    want = np.fft.rfft(xr.astype(np.float64), axis=-1)
+    scale = np.abs(want).max()
+    err = max(np.abs(np.asarray(pair[0]) - want.real).max(),
+              np.abs(np.asarray(pair[1]) - want.imag).max()) / scale
+    check("mxu_rfft_vs_numpy", err < 1e-4, f"rel_err={err:.2e}")
+
+    # CFP end-to-end with the MXU FFT forced on vs off
+    cfp = features.Combined_Frequency_Periodicity(fs=16000, hop_length=320)
+    xc = rng.standard_normal((1, 32000)).astype(np.float32)
+    set_use_mxu_fft(True)
+    za = [np.asarray(v) for v in cfp(xc)]
+    set_use_mxu_fft(False)
+    zb = [np.asarray(v) for v in cfp(xc)]
+    set_use_mxu_fft(None)
+    rel = max(np.abs(a - b).max() / max(np.abs(b).max(), 1.0)
+              for a, b in zip(za, zb))
+    check("cfp_mxu_fft_vs_xla_fft", rel < 1e-3, f"rel_err={rel:.2e}")
+
     # trainable gradients
     st3 = features.STFT(n_fft=512, hop_length=256, output_format="Magnitude",
                         trainable=True, verbose=False)
