@@ -146,15 +146,32 @@ class Griffin_Lim(SpectralTransform):
         ks = jnp.pad(params["kernel_sin_inv"] * w, ((0, fp - f), (0, 0)))
         wcos_t = params["wcos"].T.astype(jnp.float32)
         wsin_t = params["wsin"].T.astype(jnp.float32)
-        w_sum = window_sumsquare(params["window_mask"], tp, hop, self.n_fft)
+        # envelope over the TRUE t frames only, extended with ones across the
+        # phantom padded frames: their spectra are zero, so their synthesis
+        # contribution is zero and dividing by 1 keeps it zero — whereas a
+        # tp-frame sumsquare would also add phantom window energy over the
+        # real signal's last n_fft - hop samples (frames overlap) and
+        # attenuate the tail every iteration vs the non-fused loop.
+        w_sum_t = window_sumsquare(params["window_mask"], t, hop, self.n_fft)
+        w_sum = jnp.pad(w_sum_t, (0, hop * (tp - t)), constant_values=1.0)
+
+        # true/padded synthesized lengths: the center trim + reflect re-pad
+        # must happen at the TRUE length (the reference's istft->stft
+        # convention trims n_fft//2 real samples off both ends), then
+        # zero-extend back to the plan length — trimming the padded signal
+        # directly would keep pad_amount extra real tail samples and give
+        # tail frames leftover zeros where the reflect pad belongs.
+        len_t = self.n_fft + hop * (t - 1)
+        len_tp = self.n_fft + hop * (tp - 1)
 
         def body(_, carryv):
             c_re, c_im, p_re, p_im = carryv
             signal = synthesis_ola(c_re, c_im, kc, ks, hop)
             signal = normalize_by_window_envelope(signal, w_sum)
             if self.center:
-                signal = signal[:, self.pad_amount : -self.pad_amount]
+                signal = signal[:, self.pad_amount : len_t - self.pad_amount]
                 signal = pad_signal(signal, self.pad_amount, self.pad_mode)
+                signal = jnp.pad(signal, ((0, 0), (0, len_tp - len_t)))
             return _framed_gl_step(signal, wcos_t, wsin_t, S_pad, p_re, p_im,
                                    hop, mom=mom, **static_plan)
 
@@ -170,7 +187,6 @@ class Griffin_Lim(SpectralTransform):
             set_matmul_precision(prev)
 
         # final synthesis at the ambient precision on the unpadded view
-        w_sum_t = window_sumsquare(params["window_mask"], t, hop, self.n_fft)
         return self._istft_planar(
             params,
             c_re[:, :f, :t].astype(jnp.float32),
@@ -213,12 +229,16 @@ class Griffin_Lim(SpectralTransform):
         # zero so padded carries stay exactly zero through the fixed point,
         # and the synthesis kernel contracts the padded rows at zero extra
         # cost (it pads F internally anyway).
-        from ..config import get_config, on_tpu
-        from ..ops.framed_matmul import _framed_gl_step, gl_step_plan
+        from ..config import get_config, on_tpu, set_matmul_precision
+        from ..ops.framed_matmul import gl_step_plan
 
         cfg = get_config()
         plan = None
-        if on_tpu() and cfg.use_pallas and self.iter_precision == "default":
+        # tensorfloat32 asks ~1e-4 iteration numerics; the fused step's bf16
+        # carries deliver ~2e-3, so tf32 keeps the XLA loop (same contract as
+        # the analysis/synthesis kernels' tf32 gates in ops/dispatch.py).
+        if (on_tpu() and cfg.use_pallas and self.iter_precision == "default"
+                and cfg.matmul_precision != "tensorfloat32"):
             sig_len = self.n_fft + self.hop_length * (t - 1)
             plan = gl_step_plan(b, sig_len, f, self.n_fft, self.hop_length)
         if plan is not None:
@@ -236,9 +256,7 @@ class Griffin_Lim(SpectralTransform):
         # fixed-point projection (rounding does not accumulate; SNR-tested),
         # and halving the carry bytes halves the loop's elementwise and
         # kernel-input HBM traffic.
-        from ..config import get_config, set_matmul_precision
-
-        prev = get_config().matmul_precision
+        prev = cfg.matmul_precision
         carry_dtype = (jnp.bfloat16 if self.iter_precision == "default"
                        else jnp.float32)
         c_re = (S * jnp.cos(2 * np.pi * rand_phase)).astype(carry_dtype)

@@ -92,3 +92,30 @@ def test_griffin_lim_bf16_carries_match_fp32_snr():
     assert errs["highest"] < 0.15, errs
     # same quality class (reference round-2 measurement: 0.0895 vs 0.0896)
     assert abs(errs["default"] - errs["highest"]) < 0.02, errs
+
+
+def test_gl_fused_gate_respects_tf32(monkeypatch):
+    """tensorfloat32 asks ~1e-4 iteration numerics; the fused step's bf16
+    carries deliver ~2e-3, so the tf32 setting must keep the XLA loop
+    (round-3c gate — same contract as the analysis/synthesis kernels)."""
+    from nnaudio_tpu import config as cfgmod
+    from nnaudio_tpu.config import set_matmul_precision
+    from nnaudio_tpu.ops import framed_matmul
+
+    calls = []
+    monkeypatch.setattr(cfgmod, "on_tpu", lambda: True)
+    # force the XLA loop either way so the test runs on CPU; only the
+    # *consultation* of the plan (the gate being open) is observed
+    monkeypatch.setattr(framed_matmul, "gl_step_plan",
+                        lambda *a, **k: calls.append(a))
+    gl = features.Griffin_Lim(n_fft=512, hop_length=128, n_iter=1)
+    S = np.abs(np.random.RandomState(0).randn(1, 257, 40)).astype(np.float32)
+    gl(S)
+    assert calls, "default precision: fused gate should be consulted"
+    calls.clear()
+    set_matmul_precision("tensorfloat32")
+    try:
+        gl(S)
+        assert not calls, "tensorfloat32 must bypass the fused bf16 loop"
+    finally:
+        set_matmul_precision("default")

@@ -611,6 +611,50 @@ def test_gl_fused_forward_interpreted_matches_xla_path(center):
     assert abs(e_fused - e_xla) < 0.05, (e_fused, e_xla)
 
 
+@pytest.mark.parametrize("center", [True, False])
+def test_gl_fused_loop_is_same_fixed_point_map(center):
+    """Round-3c regression: the fused loop must be the SAME fixed-point map
+    as the XLA loop up to matmul rounding — including the last n_fft
+    samples. The two bugs this pins down both concentrated in the tail:
+    (a) a t_padded-frame window-sumsquare envelope attenuated the real
+    tail (phantom frames overlap it when hop < n_fft); (b) the center
+    trim/re-pad ran at the padded length, keeping pad_amount extra real
+    samples and dropping the right reflect pad."""
+    from nnaudio_tpu import features
+
+    sr, n_fft, hop = 16000, 512, 128
+    tt = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 440 * tt).astype(np.float32)
+    stft = features.STFT(n_fft=n_fft, hop_length=hop, center=center,
+                         output_format="Magnitude", verbose=False)
+    S = stft(x[None])
+    gl = features.Griffin_Lim(n_fft=n_fft, hop_length=hop, n_iter=2,
+                              center=center)
+    p = {k: jnp.asarray(v) for k, v in gl._params.items()}
+    key = jax.random.PRNGKey(7)
+    rec_xla = np.asarray(jax.jit(gl._forward)(p, jnp.asarray(S), key))[0]
+
+    b, f, t = S.shape
+    plan = framed_matmul.gl_step_plan(b, n_fft + hop * (t - 1), f, n_fft, hop)
+    assert plan is not None and plan["t_padded"] > t  # phantom frames exist
+    rand_phase = jax.random.normal(key, (b, f, t))
+    mom = gl.momentum / (1 + gl.momentum)
+    framed_matmul._INTERPRET = True
+    try:
+        rec_fused = np.asarray(jax.jit(
+            lambda pp, SS, rp: gl._forward_fused(pp, SS, rp, mom, plan)
+        )(p, jnp.asarray(S), rand_phase))[0]
+    finally:
+        framed_matmul._INTERPRET = False
+
+    assert rec_fused.shape == rec_xla.shape
+    scale = np.abs(rec_xla).max()
+    err_all = np.abs(rec_fused - rec_xla).max() / scale
+    err_tail = np.abs(rec_fused[-n_fft:] - rec_xla[-n_fft:]).max() / scale
+    assert err_all < 3e-2, err_all
+    assert err_tail < 3e-2, err_tail
+
+
 def test_synthesis_auto_fuse_policy():
     """The measured round-3 dispatch policy: fast always fuses; fp32 modes
     fuse exactly where XLA's scatter-OLA collapses (q > 1 or > 9 chunks)."""
