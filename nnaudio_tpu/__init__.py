@@ -10,9 +10,12 @@ scale-out via ``jax.sharding`` (see ``nnaudio_tpu.parallel``).
 __version__ = "0.3.0"
 
 from . import config
-from .config import fast_mode, set_matmul_precision, set_use_pallas
+from .config import (fast_mode, set_matmul_precision, set_use_fused_pyramid,
+                     set_use_mxu_fft, set_use_pallas, set_use_pallas_synthesis)
 
-__all__ = ["config", "fast_mode", "set_matmul_precision", "set_use_pallas", "features"]
+__all__ = ["config", "fast_mode", "set_matmul_precision", "set_use_pallas",
+           "set_use_pallas_synthesis", "set_use_fused_pyramid",
+           "set_use_mxu_fft", "features"]
 
 
 def __getattr__(name):

@@ -56,6 +56,10 @@ def set_use_pallas(flag: bool) -> None:
     _config.use_pallas = bool(flag)
 
 
+def set_use_pallas_synthesis(flag: bool | None) -> None:
+    _config.use_pallas_synthesis = flag if flag is None else bool(flag)
+
+
 def set_use_fused_pyramid(flag: bool | None) -> None:
     _config.use_fused_pyramid = flag if flag is None else bool(flag)
 
@@ -83,18 +87,23 @@ def dot_precision() -> jax.lax.Precision:
     }[_config.matmul_precision]
 
 
-def cache_salt() -> tuple:
+#: every config field that can change compiled-graph behavior
+_SALT_FIELDS = ("matmul_precision", "use_pallas", "use_pallas_synthesis",
+                "use_fused_pyramid", "use_mxu_fft")
+
+
+def cache_salt(fields: tuple = _SALT_FIELDS) -> tuple:
     """Config state that changes compiled-graph behavior — included in every
     transform's jit-cache key so toggling ``fast_mode()`` / the pallas
     switches takes effect on transforms that have already been called
-    (matmul precision and dispatch choices are captured at trace time)."""
-    return (
-        _config.matmul_precision,
-        _config.use_pallas,
-        _config.use_pallas_synthesis,
-        _config.use_fused_pyramid,
-        _config.use_mxu_fft,
-    )
+    (matmul precision and dispatch choices are captured at trace time).
+
+    ``fields`` narrows the salt to the switches a given transform's graph
+    actually reads (``SpectralTransform._salt_fields``): flipping a switch
+    no transform path depends on (e.g. ``use_mxu_fft``, read only by CFP)
+    must not force a retrace — and a possible 60-90 s Mosaic recompile —
+    of every other already-used transform."""
+    return tuple(getattr(_config, f) for f in fields)
 
 
 def on_tpu() -> bool:

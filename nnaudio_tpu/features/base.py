@@ -22,6 +22,14 @@ class SpectralTransform:
     implement ``_forward(params, x, **static_kwargs)`` with jit-clean code.
     """
 
+    #: config switches this transform's traced graph reads — the jit-cache
+    #: key salts on exactly these (config.cache_salt), so an unrelated
+    #: toggle does not retrace/recompile it. The base default is the full
+    #: set (safe for any subclass); concrete transforms narrow it.
+    _salt_fields: tuple = ("matmul_precision", "use_pallas",
+                           "use_pallas_synthesis", "use_fused_pyramid",
+                           "use_mxu_fft")
+
     def __init__(self) -> None:
         self._params: dict[str, jax.Array] = {}
         self._trainable: set[str] = set()
@@ -68,7 +76,8 @@ class SpectralTransform:
         # config state is part of the key: precision / pallas switches are
         # captured at trace time, so a stale cached graph would silently
         # ignore e.g. fast_mode() entered after the first call
-        key = (cache_salt(), tuple(sorted(static_kwargs.items())))
+        key = (cache_salt(self._salt_fields),
+               tuple(sorted(static_kwargs.items())))
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(self._forward, **static_kwargs))

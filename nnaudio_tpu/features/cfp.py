@@ -105,6 +105,8 @@ class Combined_Frequency_Periodicity(SpectralTransform):
 
     _trim_edge_frames = True
 
+    _salt_fields = ('matmul_precision', 'use_mxu_fft')
+
     def __init__(
         self,
         fr: float = 2,

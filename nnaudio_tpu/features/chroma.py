@@ -66,6 +66,8 @@ class ChromaSTFT(SpectralTransform):
     >>> chroma = chroma_layer(x)
     """
 
+    _salt_fields = ('matmul_precision', 'use_pallas')
+
     def __init__(
         self,
         sr: float = 22050,

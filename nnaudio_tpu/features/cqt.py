@@ -141,6 +141,8 @@ class CQT1992(SpectralTransform):
     >>> spec = cqt_layer(x)
     """
 
+    _salt_fields = ('matmul_precision', 'use_pallas')
+
     def __init__(
         self,
         sr: float = 22050,
@@ -324,6 +326,8 @@ class CQT1992v2(SpectralTransform):
     >>> spec = cqt_layer(x)
     """
 
+    _salt_fields = ('matmul_precision', 'use_pallas')
+
     def __init__(
         self,
         sr: float = 22050,
@@ -447,6 +451,8 @@ class _PyramidCQT(SpectralTransform):
     """Shared init machinery for the 2010 multi-octave pyramid
     (reference cqt.py:277-436 / 899-1069): octave count, top-octave band
     placement, early-downsample calculus, lowpass FIR, per-bin lengths."""
+
+    _salt_fields = ("matmul_precision", "use_pallas", "use_fused_pyramid")
 
     def _init_pyramid(
         self,

@@ -64,6 +64,8 @@ class Gammatonegram(SpectralTransform):
     >>> spec = gamma_layer(x)
     """
 
+    _salt_fields = ('matmul_precision', 'use_pallas')
+
     def __init__(
         self,
         sr: float = 22050,

@@ -73,6 +73,8 @@ class Griffin_Lim(SpectralTransform):
     >>> rec = Griffin_Lim(n_fft=1024, hop_length=256)(S)
     """
 
+    _salt_fields = ('matmul_precision', 'use_pallas', 'use_pallas_synthesis')
+
     def __init__(
         self,
         n_fft: int,
@@ -307,7 +309,7 @@ class Griffin_Lim(SpectralTransform):
             )
         from ..config import cache_salt
 
-        cache_key = ("gl", cache_salt())
+        cache_key = ("gl", cache_salt(self._salt_fields))
         fn = self._jit_cache.get(cache_key)
         if fn is None:
             fn = jax.jit(self._forward)

@@ -82,6 +82,8 @@ class MelSpectrogram(SpectralTransform):
     >>> mels = mel_layer(x)
     """
 
+    _salt_fields = ('matmul_precision', 'use_pallas')
+
     def __init__(
         self,
         sr: float = 22050,
@@ -199,6 +201,8 @@ class MFCC(SpectralTransform):
     >>> mfcc_layer = MFCC(sr=22050, n_mfcc=20)
     >>> coefs = mfcc_layer(x)
     """
+
+    _salt_fields = ('matmul_precision', 'use_pallas')
 
     def __init__(
         self,

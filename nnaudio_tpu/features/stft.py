@@ -175,6 +175,8 @@ class STFT(SpectralTransform):
     >>> mags = spec_layer(x, output_format="Magnitude")
     """
 
+    _salt_fields = ('matmul_precision', 'use_pallas')
+
     def __init__(
         self,
         n_fft: int = 2048,
@@ -336,7 +338,9 @@ class STFT(SpectralTransform):
 
         from ..config import cache_salt
 
-        key = ("inverse", onesided, length, cache_salt())
+        # the inverse graph additionally reads the synthesis-kernel switch
+        key = ("inverse", onesided, length,
+               cache_salt(self._salt_fields + ("use_pallas_synthesis",)))
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(
@@ -412,6 +416,8 @@ class iSTFT(SpectralTransform):
     >>> rec = iSTFT(n_fft=1024, hop_length=256)(X, onesided=True,
     ...                                         length=x.shape[-1])
     """
+
+    _salt_fields = ('matmul_precision', 'use_pallas', 'use_pallas_synthesis')
 
     def __init__(
         self,

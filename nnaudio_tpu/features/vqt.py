@@ -90,6 +90,8 @@ class VQT(SpectralTransform):
     >>> spec = vqt_layer(x)
     """
 
+    _salt_fields = ('matmul_precision', 'use_pallas', 'use_fused_pyramid')
+
     def __init__(
         self,
         sr: float = 22050,

@@ -98,3 +98,46 @@ def test_fast_mode_numerics_unchanged_on_reused_transform():
     with fast_mode():
         y2 = np.asarray(t(x))
     np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5)
+
+
+def test_unrelated_toggle_does_not_retrace():
+    """Round-3c: the cache salts per transform on only the config fields its
+    graph reads — flipping use_mxu_fft (read only by CFP) or the fused-
+    pyramid switch must NOT retrace an already-used STFT (a spurious retrace
+    costs a full XLA/Mosaic recompile, 60-90 s for the fused kernels)."""
+    from nnaudio_tpu.config import (set_use_fused_pyramid, set_use_mxu_fft,
+                                    set_use_pallas_synthesis)
+
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 4096), jnp.float32)
+    t = STFT(n_fft=512, hop_length=128, output_format="Magnitude",
+             verbose=False)
+    log = []
+    _record_traces(t, log)
+    t(x)
+    assert len(log) == 1
+    try:
+        set_use_mxu_fft(True)
+        set_use_fused_pyramid(False)
+        set_use_pallas_synthesis(True)
+        t(x)  # STFT's forward reads none of these
+        assert len(log) == 1, "unrelated toggles must not retrace STFT"
+    finally:
+        set_use_mxu_fft(None)
+        set_use_fused_pyramid(None)
+        set_use_pallas_synthesis(None)
+
+
+def test_salt_fields_cover_read_toggles():
+    """Each narrowed _salt_fields tuple must name real config fields (guards
+    against typos silently widening the cache key to nothing)."""
+    import nnaudio_tpu.config as cfg
+    from nnaudio_tpu import features as F
+
+    valid = set(cfg._SALT_FIELDS)
+    classes = [F.STFT, F.iSTFT, F.MelSpectrogram, F.MFCC, F.CQT1992,
+               F.CQT1992v2, F.CQT2010, F.CQT2010v2, F.VQT, F.Gammatonegram,
+               F.ChromaSTFT, F.Griffin_Lim, F.Combined_Frequency_Periodicity,
+               F.CFP]
+    for cls in classes:
+        assert set(cls._salt_fields) <= valid, cls
+        assert "matmul_precision" in cls._salt_fields, cls
