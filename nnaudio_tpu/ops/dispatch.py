@@ -288,10 +288,10 @@ def synthesis_auto_fuse(hop: int, n_fft: int, matmul_precision: str) -> bool:
     """
     if matmul_precision == "default":
         return True
-    import math
+    from .framed_matmul import hop_envelope
 
-    w = hop * 128 // math.gcd(hop, 128)
-    return w // hop > 1 or -(-n_fft // w) > 9
+    _, q, n_chunks = hop_envelope(hop, n_fft)
+    return q > 1 or n_chunks > 9
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

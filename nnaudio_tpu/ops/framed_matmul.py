@@ -56,6 +56,20 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16MB/core VMEM
 # (measured: pair@tile_t=432 needs 16.2MB scoped vs a 10.4MB bill).
 _VMEM_BUDGET_HIGHEST = 10 * 1024 * 1024
 
+#: lcm-repack envelope limit: q = lcm(hop, 128)/hop phases must recombine in
+#: one cheap XLA pass; past 8 the repack cost outweighs fusion (measured).
+_MAX_Q = 8
+
+
+def hop_envelope(hop: int, n_fft: int) -> tuple[int, int, int]:
+    """The lcm-repack decomposition shared by the analysis/synthesis kernels
+    and the dispatch auto-fuse policy: ``w`` = lcm(hop, 128) (slab row
+    width), ``q`` = w//hop (overlapping row phases), ``n_chunks`` =
+    ceil(n_fft/w) (K chunks per frame). One definition keeps the policy
+    (ops/dispatch.py) and the kernels' envelope gates in lockstep."""
+    w = hop * 128 // math.gcd(hop, 128)
+    return w, w // hop, -(-n_fft // w)
+
 
 def _plan(b, n_fft, f, t_total, hop, highest, n_out=1, n_mels=0):
     """Choose (w, q, n_chunks, tile_t, tile_f, bb, slab_rows) so every
@@ -66,11 +80,9 @@ def _plan(b, n_fft, f, t_total, hop, highest, n_out=1, n_mels=0):
     batch block bb that fits minimizes basis re-streaming."""
     if hop <= 0:
         return None
-    w = hop * 128 // math.gcd(hop, 128)
-    q = w // hop
-    if q > 8:  # lcm blowup (odd/unaligned hops): repack cost outweighs fusion
+    w, q, n_chunks = hop_envelope(hop, n_fft)
+    if q > _MAX_Q:  # lcm blowup (odd/unaligned hops): repack outweighs fusion
         return None
-    n_chunks = -(-n_fft // w)
     tile_f = min(128, -(-f // 128) * 128)
     ebytes = 4 if highest else 2
     mpad = n_mels + (-n_mels % 128) if n_mels else 0
@@ -540,11 +552,9 @@ def _plan_kchunk(b, n_fft, f, t_total, hop, highest):
     whole-K ``_plan`` failed (giant fp32 banks)."""
     if hop <= 0 or f > 128:
         return None
-    w = hop * 128 // math.gcd(hop, 128)
-    q = w // hop
-    if q > 8:
+    w, q, n_chunks = hop_envelope(hop, n_fft)
+    if q > _MAX_Q:
         return None
-    n_chunks = -(-n_fft // w)
     if n_chunks < 2:
         return None
     tile_f = 128
@@ -1027,11 +1037,9 @@ def synthesis_ola_pallas(spec_re, spec_im, kc, ks, hop, highest: bool):
                 or (not highest and spec_re.dtype == jnp.bfloat16))
     if not (hop > 0 and ok_dtype):
         return None
-    w = hop * 128 // math.gcd(hop, 128)
-    q = w // hop
-    if q > 8:  # lcm blowup (odd/unaligned hops)
+    w, q, n_chunks = hop_envelope(hop, n_fft)
+    if q > _MAX_Q:  # lcm blowup (odd/unaligned hops)
         return None
-    n_chunks = -(-n_fft // w)
     boundary = (n_chunks - 1) * q
     tail_rows = max(8, -(-boundary // 8) * 8)
     if spec_re.shape[0] * spec_re.shape[2] < _MIN_FUSED_FRAMES:
