@@ -113,9 +113,10 @@ def test_gl_fused_gate_respects_tf32(monkeypatch):
     gl(S)
     assert calls, "default precision: fused gate should be consulted"
     calls.clear()
+    prev = cfgmod.get_config().matmul_precision
     set_matmul_precision("tensorfloat32")
     try:
         gl(S)
         assert not calls, "tensorfloat32 must bypass the fused bf16 loop"
     finally:
-        set_matmul_precision("default")
+        set_matmul_precision(prev)
