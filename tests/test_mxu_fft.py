@@ -21,7 +21,7 @@ def test_split_factors():
     assert _split_factors(3 * 641) is None
 
 
-@pytest.mark.parametrize("n", [8000, 2048, 6400, 500])
+@pytest.mark.parametrize("n", [8000, 2048, 6400, 500, 4, 250, 256, 16000])
 def test_rfft_matches_numpy(n):
     rng = np.random.RandomState(0)
     x = rng.randn(3, n).astype(np.float32)
@@ -35,6 +35,22 @@ def test_rfft_matches_numpy(n):
 def test_rfft_unsupported_returns_none():
     assert rfft_mxu(np.zeros((2, 31), np.float32)) is None       # odd n
     assert rfft_mxu(np.zeros((2, 2 * 3 * 641), np.float32)) is None
+    assert rfft_mxu(np.zeros((2, 2), np.float32)) is None        # m = 1
+    # 44100: m = 22050 has only one factor of 2 -> odd part 11025 > 640
+    assert rfft_mxu(np.zeros((2, 44100), np.float32)) is None
+
+
+def test_rfft_pure_tone_phase():
+    """A pure tone pins bin placement and phase sign (a conjugation or
+    index-mapping bug would pass a random-input magnitude-heavy check)."""
+    n, k = 4000, 137
+    t = np.arange(n)
+    x = np.cos(2 * np.pi * k * t / n + 0.3).astype(np.float32)[None]
+    re, im = rfft_mxu(x)
+    want = np.fft.rfft(x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(np.asarray(re), want.real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im), want.imag, atol=2e-3)
+    assert abs(np.asarray(re)[0, k] - n / 2 * np.cos(0.3)) < 1e-2
 
 
 def test_rfft_batched_shapes():
