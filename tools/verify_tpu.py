@@ -153,6 +153,23 @@ def main():
     rel = np.linalg.norm(Sr[:, : Si.shape[1]] - Si) / np.linalg.norm(Si)
     check("griffin_lim_spec_err", rel < 0.15, f"rel_spec_err={rel:.3f}")
 
+    # fused GL step (TPU-only path) must be the same fixed-point map as
+    # the XLA loop — tail included (round-3c envelope/re-pad fixes)
+    from nnaudio_tpu.config import set_use_pallas
+
+    gl2 = features.Griffin_Lim(n_fft=1024, hop_length=256, n_iter=2)
+    rec_fused = np.asarray(gl2(Sm, key=jax.random.PRNGKey(7)))[0]
+    set_use_pallas(False)
+    try:
+        rec_xla = np.asarray(gl2(Sm, key=jax.random.PRNGKey(7)))[0]
+    finally:
+        set_use_pallas(True)
+    scl = np.abs(rec_xla).max()
+    d_all = np.abs(rec_fused - rec_xla).max() / scl
+    d_tail = np.abs(rec_fused[-1024:] - rec_xla[-1024:]).max() / scl
+    check("griffin_lim_fused_semantics", d_all < 3e-2 and d_tail < 3e-2,
+          f"max_rel={d_all:.2e} tail={d_tail:.2e}")
+
     # checkpoint round-trip (npz)
     import tempfile, os
 
