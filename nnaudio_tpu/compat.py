@@ -145,8 +145,7 @@ def chroma(sr, n_fft, n_chroma=12, A440=440.0, ctroct=5.0, octwidth=2,
 
 
 def nextpow2(A):
-    """Reference quirk preserved: floor(log2(A)) despite the name
-    (utils.py:172)."""
+    """utils.py:128-148: ceil(log2(A)) (the floor twin is :func:`prepow2`)."""
     return next_pow2_exponent(A)
 
 

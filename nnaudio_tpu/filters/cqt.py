@@ -108,11 +108,12 @@ def create_lowpass_filter(
 
 
 def next_pow2_exponent(a: float) -> int:
-    """floor(log2(a)) — matches the (misnamed, mis-documented) reference
-    ``nextpow2``, whose body is ``int(np.floor(np.log2(A)))`` (utils.py:172)
-    despite the docstring claiming ceil. The floor semantics feed the
-    early-downsample count, so parity requires replicating it exactly."""
-    return int(np.floor(np.log2(a)))
+    """ceil(log2(a)) — the reference ``nextpow2`` (utils.py:128-148; its
+    *floor* twin is ``prepow2``, utils.py:152-172). Feeds the
+    early-downsample count (utils.py:657) — for power-of-2 hops ceil and
+    floor agree, but e.g. hop=768 gives 10 vs 9, changing the downsample
+    factor, so parity requires the ceil exactly."""
+    return int(np.ceil(np.log2(a)))
 
 
 def early_downsample_count(

@@ -150,9 +150,15 @@ def test_normalize_and_tiny():
     assert compat.tiny(S) == np.finfo(np.float32).tiny
 
 
-def test_prepow2_nextpow2():
+def test_prepow2_nextpow2(ref_utils):
+    """Head-to-head vs the live reference: nextpow2 is CEIL (utils.py:148),
+    prepow2 is floor (utils.py:172) — round 3c fixed a misreading that had
+    both as floor."""
+    for v in (6, 513, 1000, 1024, 768):
+        assert compat.nextpow2(v) == ref_utils.nextpow2(v), v
+        assert compat.prepow2(v) == ref_utils.prepow2(v), v
+    assert compat.nextpow2(1000) == 10
     assert compat.prepow2(1000) == 9
-    assert compat.nextpow2(1000) == compat.prepow2(1000)  # reference quirk
 
 
 def test_uniform_distribution_range():

@@ -81,11 +81,12 @@ def test_lowpass_filter_response():
     assert np.abs(w)[freqs > 0.6].max() < 0.1
 
 
-def test_next_pow2_is_floor():
-    # parity with reference nextpow2 = floor(log2) (utils.py:172)
-    assert next_pow2_exponent(6) == 2
+def test_next_pow2_is_ceil():
+    # parity with reference nextpow2 = ceil(log2) (utils.py:128-148);
+    # the floor twin is prepow2 (utils.py:152-172)
+    assert next_pow2_exponent(6) == 3
     assert next_pow2_exponent(512) == 9
-    assert next_pow2_exponent(513) == 9
+    assert next_pow2_exponent(513) == 10
 
 
 def test_early_downsample_params():
@@ -120,7 +121,7 @@ def test_compat_reference_names():
     assert gt.shape == (64, 513)
     ch = F.chroma(22050, 1024)
     assert ch.shape == (12, 513)
-    assert F.nextpow2(513) == 9
+    assert F.nextpow2(513) == 10
     fir = F.create_lowpass_filter(0.5, kernelLength=256, transitionBandwidth=0.001)
     assert fir.shape == (256,)
 

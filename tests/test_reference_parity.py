@@ -239,6 +239,23 @@ def test_cqt2010v2_early_downsample_active_parity(ref, torchmod):
           ref.CQT2010v2(**kw)(torchmod.tensor(x), output_format="Complex").numpy())
 
 
+@pytest.mark.parametrize("cls", ["CQT2010", "CQT2010v2"])
+def test_cqt2010_nonpow2_hop_parity(ref, torchmod, cls):
+    """hop=768 (non-power-of-2) exercises the ceil-vs-floor nextpow2 in the
+    early-downsample count (utils.py:657 calls the CEIL variant; round 3c
+    fixed a floor misreading here). For every config the reference supports
+    the factor itself ends up c1-bound, but the whole downsample calculus
+    and pyramid arithmetic run on a non-pow2 hop."""
+    from nnaudio_tpu import features
+
+    kw = dict(sr=44100, hop_length=768, n_bins=84, bins_per_octave=12,
+              earlydownsample=True, verbose=False)
+    x = np.random.RandomState(7).randn(2, 32768).astype(np.float32)
+    close(np.asarray(getattr(features, cls)(**kw)(x, output_format="Magnitude")),
+          getattr(ref, cls)(**kw)(torchmod.tensor(x),
+                                  output_format="Magnitude").numpy())
+
+
 def test_vqt_early_downsample_active_parity(ref, torchmod):
     """Same active-downsampling config through VQT, which keeps the
     reference's quirk of building per-octave kernels from the ORIGINAL sr."""
