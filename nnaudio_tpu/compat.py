@@ -134,10 +134,10 @@ def get_gammatone(sr, n_fft, n_bins=64, fmin=20.0, fmax=None, htk=False,
                                 dtype=dtype)
 
 
-def chroma(sr, n_fft, n_chroma=12, A440=440.0, ctroct=5.0, octwidth=2,
+def chroma(sr, n_fft, n_chroma=12, tuning=0.0, ctroct=5.0, octwidth=2,
            norm=2, base_c=True, dtype=np.float32):
-    """librosa_functions.py:573 (tuning derived from A440)."""
-    tuning = 12 * np.log2(A440 / 440.0)
+    """librosa_functions.py:573 (``tuning``: deviation from A440 in
+    fractional chroma bins, as in the reference/librosa)."""
     return chroma_filterbank(
         sr, n_fft, n_chroma=n_chroma, tuning=tuning, ctroct=ctroct,
         octwidth=octwidth, norm=norm, base_c=base_c, dtype=dtype,
@@ -173,7 +173,7 @@ def early_downsample_count(nyquist, filter_cutoff, hop_length, n_octaves):
 
 
 def fft2gammatonemx(sr=20000, n_fft=2048, n_bins=64, width=1.0, fmin=0.0,
-                    fmax=10000, maxlen=1024):
+                    fmax=11025, maxlen=1024):
     """librosa_functions.py:13: (weights, gain) for an ERB gammatone bank."""
     from .filters.gammatone import fft_to_gammatone_weights
 
@@ -186,7 +186,7 @@ def normalize(S, norm=np.inf, axis=0, threshold=None, fill=None):
     S = np.asarray(S)
     if threshold is None:
         threshold = tiny(S)
-    mag = np.abs(S).astype(float)
+    mag = np.abs(S).astype(np.double)
     if norm is None:
         return S
     if norm == np.inf:
@@ -202,11 +202,13 @@ def normalize(S, norm=np.inf, axis=0, threshold=None, fill=None):
         fill_norm = 1.0
     elif np.issubdtype(type(norm), np.number) and norm > 0:
         length = np.sum(mag ** norm, axis=axis, keepdims=True) ** (1.0 / norm)
-        fill_norm = mag.shape[axis] ** (-1.0 / norm)
+        fill_norm = ((mag.size if axis is None else mag.shape[axis])
+                     ** (-1.0 / norm))
     else:
         raise ValueError(f"Unsupported norm: {norm!r}")
     small_idx = length < threshold
-    Snorm = np.empty_like(S, dtype=float)
+    # dtype-preserving, as the reference's np.empty_like(S) is
+    Snorm = np.empty_like(S)
     if fill is None:
         length[small_idx] = 1.0
         Snorm[:] = S / length
@@ -305,8 +307,8 @@ def get_cqt_complex(x, cqt_kernels_real, cqt_kernels_imag, hop_length,
                     padding):
     """utils.py:498: framed complex CQT product -> (B, n_bins, T, 2) with the
     reference's (real, -imag) stack. ``padding`` is 'reflect'/'constant' pad
-    of kernel_width//2 (the reference passes an nn.Module; a string works
-    here)."""
+    of kernel_width//2 — or the reference's own padding module
+    (``nn.ReflectionPad1d`` / ``nn.ConstantPad1d``), mapped by type."""
     import jax.numpy as jnp
     from .core.frame import pad_signal
     from .ops.dispatch import framed_basis_pair
@@ -318,7 +320,19 @@ def get_cqt_complex(x, cqt_kernels_real, cqt_kernels_imag, hop_length,
     ki = jnp.asarray(cqt_kernels_imag)
     if kr.ndim == 3:  # reference conv1d layout (n_bins, 1, width)
         kr, ki = kr[:, 0, :], ki[:, 0, :]
-    mode = padding if isinstance(padding, str) else "reflect"
+    if isinstance(padding, str):
+        mode = padding
+    else:  # the reference passes its nn padding module (utils.py:498)
+        name = type(padding).__name__
+        if "Reflection" in name:
+            mode = "reflect"
+        elif "Constant" in name or "ZeroPad" in name:
+            mode = "constant"
+        else:
+            raise TypeError(
+                f"unsupported padding {padding!r}: pass 'reflect'/'constant' "
+                "or the reference's ReflectionPad1d/ConstantPad1d module"
+            )
     x = pad_signal(x, kr.shape[-1] // 2, mode)
     real, imag_raw = framed_basis_pair(x, kr, ki, hop_length)
     return jnp.stack((real, -imag_raw), axis=-1)

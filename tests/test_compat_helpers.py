@@ -114,6 +114,21 @@ def test_get_cqt_complex_parity(ref_utils, torchmod):
                                             ki[:, None, :], 64, "reflect"))
     assert got.shape == want.shape
     assert np.allclose(got, want, rtol=1e-4, atol=1e-4)
+    # the reference's own padding MODULES must map by type (round 3c:
+    # a ConstantPad1d used to silently become reflect)
+    got_mod = np.asarray(compat.get_cqt_complex(x, kr[:, None, :],
+                                                ki[:, None, :], 64, pad))
+    assert np.allclose(got_mod, want, rtol=1e-4, atol=1e-4)
+    pad_c = torchmod.nn.ConstantPad1d(128, 0.0)
+    want_c = ref_utils.get_cqt_complex(
+        torchmod.tensor(x), torchmod.tensor(kr[:, None, :]),
+        torchmod.tensor(ki[:, None, :]), 64, pad_c).numpy()
+    got_c = np.asarray(compat.get_cqt_complex(x, kr[:, None, :],
+                                              ki[:, None, :], 64, pad_c))
+    assert np.allclose(got_c, want_c, rtol=1e-4, atol=1e-4)
+    assert not np.allclose(want_c, want)  # the two modes genuinely differ
+    with pytest.raises(TypeError):
+        compat.get_cqt_complex(x, kr[:, None, :], ki[:, None, :], 64, object())
 
 
 def test_rfft_fn_parity(ref_utils, torchmod):
@@ -148,6 +163,36 @@ def test_normalize_and_tiny():
     out2 = compat.normalize(S, norm=2, axis=0)
     assert np.allclose(np.linalg.norm(out2, axis=0), 1.0, rtol=1e-5)
     assert compat.tiny(S) == np.finfo(np.float32).tiny
+    # dtype preservation (reference: np.empty_like(S)) — float32 in/out,
+    # complex normalized by |.| without dropping the imaginary part
+    assert out.dtype == np.float32
+    C = (S + 1j * S[::-1]).astype(np.complex64)
+    outc = compat.normalize(C, norm=2, axis=0)
+    assert np.iscomplexobj(outc)
+    assert np.allclose(np.linalg.norm(outc, axis=0), 1.0, rtol=1e-5)
+    # axis=None (librosa-supported): one global norm
+    outg = compat.normalize(S, norm=2, axis=None)
+    assert np.allclose(np.sqrt((np.abs(outg) ** 2).sum()), 1.0, rtol=1e-5)
+
+
+def test_chroma_tuning_parity():
+    """The 4th parameter is ``tuning`` (fractional chroma bins), as in
+    librosa_functions.py:573 — round 3c fixed an A440-Hz misreading."""
+    import inspect
+
+    params = list(inspect.signature(compat.chroma).parameters)
+    assert params[3] == "tuning"
+    fb0 = compat.chroma(22050, 2048, tuning=0.0)
+    fb5 = compat.chroma(22050, 2048, tuning=0.5)
+    assert fb0.shape == (12, 1025) and np.isfinite(fb0).all()
+    assert np.isfinite(fb5).all() and not np.allclose(fb0, fb5)
+
+
+def test_fft2gammatonemx_defaults_match_reference():
+    import inspect
+
+    assert inspect.signature(compat.fft2gammatonemx).parameters[
+        "fmax"].default == 11025  # librosa_functions.py:14
 
 
 def test_prepow2_nextpow2(ref_utils):
