@@ -46,6 +46,8 @@ def downsample_by_n(x: jax.Array, fir: jax.Array, n: int) -> jax.Array:
     pad = (taps - 1) // 2
     b, length = x.shape
     out_len = (length + 2 * pad - taps) // n + 1
+    if out_len <= 0:  # signal shorter than the (even-tap) FIR: empty, as
+        return x[:, :0]  # the reference's conv1d would return
 
     r = min(_TILE_R, out_len)
     n_tiles = -(-out_len // r)

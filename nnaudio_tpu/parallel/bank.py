@@ -23,6 +23,10 @@ _BANK_PARAM_PREFIXES = (
     "wcos",
     "cqt_kernels_real",
     "cqt_kernels_imag",
+    # the composed time-domain bases frozen CQT1992/CQT2010 actually
+    # contract (features/cqt.py: "combined_real/imag" = kernels @ fourier)
+    "combined_real",
+    "combined_imag",
     "mel_basis",
     "gammatone_basis",
     "chroma_basis",

@@ -17,9 +17,21 @@ def distributed_initialize(**kwargs) -> None:
 
     Call once per process before any other JAX API on a multi-host pod;
     forwards ``coordinator_address`` / ``num_processes`` / ``process_id``
-    to ``jax.distributed.initialize``."""
-    if jax.process_count() > 1 or kwargs:
+    to ``jax.distributed.initialize``.
+
+    Deliberately does NOT probe ``jax.process_count()`` first: that would
+    initialize the local backend (after which ``distributed.initialize``
+    is invalid) and always reports 1 pre-initialization anyway. Instead:
+    explicit kwargs are forwarded verbatim (errors propagate); with no
+    kwargs, cluster auto-detection is attempted and a plain single-process
+    environment (no coordinator/cluster found) degrades to a no-op."""
+    if jax.distributed.is_initialized():
+        return
+    try:
         jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        if kwargs:  # an explicitly configured pod must not fail silently
+            raise
 
 
 def global_batch_from_host_local(

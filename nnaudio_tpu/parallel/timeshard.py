@@ -56,6 +56,21 @@ def _stft_local(x_local, wcos, wsin, hop, axis):
     return real, imag
 
 
+@functools.lru_cache(maxsize=64)
+def _stft_sharded_fn(mesh: Mesh, axis: str, hop: int):
+    """One stable jitted callable per (mesh, axis, hop) — building a fresh
+    shard_map + jit wrapper inside every call would miss jax.jit's
+    executable cache (it keys on function identity) and recompile each
+    invocation."""
+    fn = shard_map(
+        functools.partial(_stft_local, hop=hop, axis=axis),
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P()),
+        out_specs=(P(None, None, axis), P(None, None, axis)),
+    )
+    return jax.jit(fn)
+
+
 def time_sharded_stft(x, wcos, wsin, hop: int, mesh: Mesh, axis: str = "data"):
     """(B, L) time-sharded over ``axis`` -> two (B, F, L//hop) maps
     (cos / un-negated sin projections), time-sharded over the same axis."""
@@ -69,13 +84,8 @@ def time_sharded_stft(x, wcos, wsin, hop: int, mesh: Mesh, axis: str = "data"):
     if x.shape[-1] // n < n_fft - hop:
         raise ValueError("local chunk shorter than the halo (n_fft - hop)")
 
-    fn = shard_map(
-        functools.partial(_stft_local, hop=hop, axis=axis),
-        mesh=mesh,
-        in_specs=(P(None, axis), P(), P()),
-        out_specs=(P(None, None, axis), P(None, None, axis)),
-    )
-    return jax.jit(fn)(jnp.asarray(x), jnp.asarray(wcos), jnp.asarray(wsin))
+    fn = _stft_sharded_fn(mesh, axis, hop)
+    return fn(jnp.asarray(x), jnp.asarray(wcos), jnp.asarray(wsin))
 
 
 def _istft_local(frames_local, window, hop, axis):
@@ -98,6 +108,34 @@ def _istft_local(frames_local, window, hop, axis):
     return body
 
 
+def _istft_shard_body(spec_r, spec_i, kc, ks, w, *, hop, axis):
+    prec = dot_precision()
+    n_fft = kc.shape[0]
+    frames = jnp.einsum("jf,bft->btj", kc, spec_r, precision=prec,
+                        preferred_element_type=jnp.float32)
+    frames = frames - jnp.einsum("jf,bft->btj", ks, spec_i, precision=prec,
+                                 preferred_element_type=jnp.float32)
+    frames = frames * w[None, None, :] / n_fft
+    sig = _istft_local(frames, w, hop, axis)
+    # window envelope: same overlap-add + halo reduction applied to w^2
+    t_local = spec_r.shape[-1]
+    wsq = jnp.broadcast_to(w[None, None, :] ** 2, (1, t_local, n_fft))
+    env = _istft_local(wsq, w, hop, axis)
+    return jnp.where(env > 1e-10, sig / jnp.where(env > 1e-10, env, 1.0), sig)
+
+
+@functools.lru_cache(maxsize=64)
+def _istft_sharded_fn(mesh: Mesh, axis: str, hop: int):
+    """Stable jitted callable per (mesh, axis, hop) — see _stft_sharded_fn."""
+    fn = shard_map(
+        functools.partial(_istft_shard_body, hop=hop, axis=axis),
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, None, axis), P(), P(), P()),
+        out_specs=P(None, axis),
+    )
+    return jax.jit(fn)
+
+
 def time_sharded_istft(
     spec_real, spec_imag, kernel_cos, kernel_sin, window, hop: int,
     mesh: Mesh, axis: str = "data",
@@ -105,29 +143,8 @@ def time_sharded_istft(
     """Inverse of :func:`time_sharded_stft` for full-bin (n_fft-row) kernels:
     (B, n_fft, T) time-sharded spectra -> (B, T*hop) time-sharded waveform,
     normalized by the window sum-square envelope."""
-    n_fft = kernel_cos.shape[0]
-
-    def local(spec_r, spec_i, kc, ks, w):
-        prec = dot_precision()
-        frames = jnp.einsum("jf,bft->btj", kc, spec_r, precision=prec,
-                            preferred_element_type=jnp.float32)
-        frames = frames - jnp.einsum("jf,bft->btj", ks, spec_i, precision=prec,
-                                     preferred_element_type=jnp.float32)
-        frames = frames * w[None, None, :] / n_fft
-        sig = _istft_local(frames, w, hop, axis)
-        # window envelope: same overlap-add + halo reduction applied to w^2
-        t_local = spec_r.shape[-1]
-        wsq = jnp.broadcast_to(w[None, None, :] ** 2, (1, t_local, n_fft))
-        env = _istft_local(wsq, w, hop, axis)
-        return jnp.where(env > 1e-10, sig / jnp.where(env > 1e-10, env, 1.0), sig)
-
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, None, axis), P(None, None, axis), P(), P(), P()),
-        out_specs=P(None, axis),
-    )
-    return jax.jit(fn)(
+    fn = _istft_sharded_fn(mesh, axis, hop)
+    return fn(
         jnp.asarray(spec_real), jnp.asarray(spec_imag),
         jnp.asarray(kernel_cos), jnp.asarray(kernel_sin), jnp.asarray(window),
     )

@@ -310,3 +310,53 @@ def test_sharded_checkpoint_restores_onto_different_mesh(mesh24, tmp_path):
                                       normalization_type="librosa")
     got = np.asarray(run(x, params=restored))
     assert np.allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bank_sharded_frozen_cqt1992_shards_combined(mesh24):
+    """Frozen CQT1992 contracts only the composed combined_* bases — bank
+    sharding must actually split them (round 3c: they were missing from the
+    prefix list, silently replicating the one bank that matters)."""
+    from jax.sharding import PartitionSpec as P
+
+    layer = features.CQT1992(sr=16000, fmin=55, n_bins=48, bins_per_octave=12,
+                             hop_length=256)
+    assert "combined_real" in layer._params
+    sharded = parallel.shard_kernel_bank(dict(layer._params), mesh24)
+    spec = sharded["combined_real"].sharding.spec
+    assert spec == P("model", *([None] * (layer._params["combined_real"].ndim - 1)))
+
+    x = np.random.RandomState(11).randn(4, 8192).astype(np.float32)
+    want = np.asarray(layer(x, output_format="Magnitude"))
+    run = parallel.bank_sharded_apply(layer, mesh24,
+                                      output_format="Magnitude")
+    got = np.asarray(run(x))
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_time_sharded_fns_are_cached(mesh8):
+    """Repeat calls must reuse the jitted shard_map wrapper (round 3c: a
+    fresh wrapper per call defeated jax.jit's executable cache)."""
+    from nnaudio_tpu.parallel import timeshard
+
+    n_fft, hop = 256, 64
+    basis = np.random.RandomState(12).randn(2, 129, n_fft).astype(np.float32)
+    x = np.random.RandomState(13).randn(1, 8 * 1024).astype(np.float32)
+    before = timeshard._stft_sharded_fn.cache_info()
+    timeshard.time_sharded_stft(x, basis[0], basis[1], hop, mesh8)
+    timeshard.time_sharded_stft(x, basis[0], basis[1], hop, mesh8)
+    after = timeshard._stft_sharded_fn.cache_info()
+    assert after.hits >= before.hits + 1
+
+
+def test_distributed_initialize_single_process_noop():
+    # must not raise (and must not pre-initialize the backend via
+    # process_count probing) in a plain single-process environment
+    parallel.distributed_initialize()
+
+
+def test_downsample_shorter_than_fir_is_empty():
+    from nnaudio_tpu.core.resample import downsample_by_n
+
+    fir = np.random.RandomState(14).randn(256).astype(np.float32)  # even taps
+    out = downsample_by_n(jnp.asarray(np.zeros((2, 1), np.float32)), fir, 2)
+    assert out.shape == (2, 0)
