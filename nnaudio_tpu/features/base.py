@@ -95,7 +95,19 @@ class SpectralTransform:
 
         return {k: np.asarray(v) for k, v in self._params.items()}
 
-    def load_state_dict(self, state: Mapping[str, Any]) -> None:
+    def load_state_dict(self, state: Mapping[str, Any],
+                        strict: bool = True) -> None:
+        """Load a :meth:`state_dict`. ``strict=True`` (the torch
+        ``nn.Module`` default this mirrors) raises on unexpected or
+        missing keys instead of silently running with init-time weights."""
+        if strict:
+            unexpected = sorted(set(state) - set(self._params))
+            missing = sorted(set(self._params) - set(state))
+            if unexpected or missing:
+                raise KeyError(
+                    f"load_state_dict (strict): missing keys {missing}, "
+                    f"unexpected keys {unexpected}"
+                )
         for k, v in state.items():
             if k in self._params:
                 self._params[k] = jnp.asarray(v)

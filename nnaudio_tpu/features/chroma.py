@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.apply import project
+
 from ..core.frame import broadcast_dim
 from ..filters.chroma import chroma_filterbank
 from .base import SpectralTransform
@@ -90,6 +90,7 @@ class ChromaSTFT(SpectralTransform):
         self.power = power
         self.norm = norm
         self.trainable_chroma = trainable_chroma
+        self.trainable_STFT = trainable_STFT
 
         self.stft = STFT(
             n_fft=n_fft,
@@ -116,9 +117,12 @@ class ChromaSTFT(SpectralTransform):
         )
 
     def _forward(self, params, x):
-        x = broadcast_dim(x)
-        spec = self.stft._power_spectrogram(params, x, self.power)
-        chroma = project(params["chroma_basis"], spec)
+        # same fused composite as Mel/Gammatone (frame+DFT+power+projection
+        # in one kernel at power=2); the per-frame norm below stays XLA
+        chroma = self.stft._filterbank_spectrogram(
+            params, broadcast_dim(x), params["chroma_basis"], self.power,
+            eps=1e-8 if self.trainable_STFT else 0.0,
+        )
         if self.norm is not None:
             # librosa chroma_stft default: per-frame inf-norm
             if self.norm == jnp.inf or self.norm == float("inf"):

@@ -508,6 +508,18 @@ class _PyramidCQT(SpectralTransform):
             self.downsample_factor = 1.0
 
         self.hop_length = hop_length
+        if hop_length % 2 ** (self.n_octaves - 1):
+            # the per-octave chain floor-divides the hop (reference
+            # cqt.py:1094, vqt.py:165) — deep octaves then disagree on frame
+            # counts for most signal lengths (opaque concat errors, as in
+            # the reference) or silently time-misalign. Surface it at
+            # construction time; behavior is unchanged (parity).
+            warnings.warn(
+                f"hop_length={hop_length} (after early downsampling) is not "
+                f"a multiple of 2**(n_octaves-1) = {2 ** (self.n_octaves - 1)}"
+                "; per-octave hops will floor-divide, which breaks or "
+                "misaligns the deepest octaves for most input lengths"
+            )
         return Q, sr, n_filters
 
     def _pyramid_chain(self, params, x):

@@ -7,10 +7,10 @@ the reference's actual (not docstring) value ``n_bins=64`` (gammatone.py:98).
 """
 from __future__ import annotations
 
-from ..core.apply import project
+
 from ..core.frame import broadcast_dim
 from ..filters.gammatone import gammatone_filterbank
-from ..ops.dispatch import framed_filterbank
+
 from .base import SpectralTransform
 from .stft import STFT
 
@@ -116,19 +116,10 @@ class Gammatonegram(SpectralTransform):
         )
 
     def _forward(self, params, x):
-        x = broadcast_dim(x)
-        if self.power == 2.0:
-            xs = x
-            if self.stft.center:
-                from ..core.frame import pad_signal
-
-                xs = pad_signal(x, self.stft.pad_amount, self.stft.pad_mode)
-            return framed_filterbank(
-                xs, params["wcos"], params["wsin"], params["gammatone_basis"],
-                self.stft.stride, eps=1e-8 if self.trainable_STFT else 0.0,
-            )
-        spec = self.stft._power_spectrogram(params, x, self.power)
-        return project(params["gammatone_basis"], spec)
+        return self.stft._filterbank_spectrogram(
+            params, broadcast_dim(x), params["gammatone_basis"], self.power,
+            eps=1e-8 if self.trainable_STFT else 0.0,
+        )
 
     def extra_repr(self) -> str:
         return "Gammatone filter banks size = {}, trainable_bins={}".format(

@@ -110,10 +110,9 @@ class Griffin_Lim(SpectralTransform):
         self._register("wcos", basis.wcos * w[None, :])
         # onesided IDFT kernels with Hermitian fold weights (DC/Nyquist x1,
         # interior x2) — half the synthesis matmul of a mirrored full bank
-        wt = np.full((basis.wcos.shape[0], 1), 2.0, dtype=np.float32)
-        wt[0] = 1.0
-        if n_fft % 2 == 0:
-            wt[-1] = 1.0
+        from .stft import hermitian_weights
+
+        wt = np.asarray(hermitian_weights(n_fft, basis.wcos.shape[0]))[:, None]
         self._register("kernel_sin_inv", basis.wsin * wt)
         self._register("kernel_cos_inv", basis.wcos * wt)
         self._register("window_mask", w)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..core.apply import project
 from ..core.frame import broadcast_dim
 from ..filters.mel import dct_matrix, mel_filterbank
-from ..ops.dispatch import framed_filterbank
+
 from .base import SpectralTransform
 from .stft import STFT
 
@@ -136,22 +136,10 @@ class MelSpectrogram(SpectralTransform):
         )
 
     def _forward(self, params, x):
-        x = broadcast_dim(x)
-        if self.power == 2.0:
-            # whole composite in one fused kernel (frame+DFT+power+mel);
-            # trainable STFT keeps the reference's 1e-8 magnitude epsilon,
-            # which under power=2 is an additive power offset
-            xs = x
-            if self.stft.center:
-                from ..core.frame import pad_signal
-
-                xs = pad_signal(x, self.stft.pad_amount, self.stft.pad_mode)
-            return framed_filterbank(
-                xs, params["wcos"], params["wsin"], params["mel_basis"],
-                self.stft.stride, eps=1e-8 if self.trainable_STFT else 0.0,
-            )
-        spec = self.stft._power_spectrogram(params, x, self.power)
-        return project(params["mel_basis"], spec)
+        return self.stft._filterbank_spectrogram(
+            params, broadcast_dim(x), params["mel_basis"], self.power,
+            eps=1e-8 if self.trainable_STFT else 0.0,
+        )
 
     def extra_repr(self) -> str:
         return "Mel filter banks size = {}, trainable_mel={}".format(

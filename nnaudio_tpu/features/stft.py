@@ -293,6 +293,26 @@ class STFT(SpectralTransform):
             return mag
         return mag ** power
 
+    def _filterbank_spectrogram(self, params, x, basis, power: float,
+                                eps: float):
+        """Shared composite forward for Mel/Gammatone/Chroma: at the default
+        ``power=2`` the whole chain — frame + DFT pair + power + filterbank
+        projection — runs as ONE fused kernel
+        (ops/dispatch.framed_filterbank; the (B, F, T) spectrogram never
+        exists in HBM). Other powers take ``|STFT|^p`` then project. For a
+        trainable STFT pass ``eps=1e-8`` (the reference's under-the-sqrt
+        epsilon, an additive power offset at p=2)."""
+        from ..core.apply import project
+        from ..ops.dispatch import framed_filterbank
+
+        if power == 2.0:
+            xs = x
+            if self.center:
+                xs = pad_signal(x, self.pad_amount, self.pad_mode)
+            return framed_filterbank(xs, params["wcos"], params["wsin"],
+                                     basis, self.stride, eps=eps)
+        return project(basis, self._power_spectrogram(params, x, power))
+
     def __call__(self, x, output_format=None):
         return self.apply(None, x, output_format=output_format or self.output_format)
 

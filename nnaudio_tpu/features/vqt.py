@@ -23,14 +23,13 @@ import jax.numpy as jnp
 
 from ..core.frame import broadcast_dim
 from ..core.resample import downsample_by_n
-from ..filters.cqt import create_cqt_kernels, create_lowpass_filter, early_downsample_params
+from ..filters.cqt import create_cqt_kernels
 from ..ops.dispatch import framed_basis_pair
 from ..ops.pyramid import pyramid_basis_pair, pyramid_enabled
-from .base import SpectralTransform
-from .cqt import _center_pad, _check_norm_type, _cqt_output
+from .cqt import _PyramidCQT, _center_pad, _check_norm_type, _cqt_output
 
 
-class VQT(SpectralTransform):
+class VQT(_PyramidCQT):
     """Variable-Q transform: the CQT2010v2 pyramid with a per-octave kernel
     bank whose bandwidths are broadened by ``gamma`` (reference ``vqt.py``).
     At ``gamma=0`` the output is bit-identical to
@@ -70,8 +69,10 @@ class VQT(SpectralTransform):
         original-sr quirk in the per-octave kernel construction. Default
         ``True``.
     trainable : bool
-        Make the per-octave wavelet banks leaf parameters. Default
-        ``False``.
+        Reference-parity quirk (vqt.py:136-140, 203-206): the per-octave
+        banks are registered as frozen buffers regardless, and this flag
+        only switches the Magnitude output to the ``sqrt(x + 1e-8)`` form
+        used for gradient stability. Default ``False``.
     output_format : {'Magnitude', 'Complex', 'Phase'}
         Default output type; overridable per call with
         ``normalization_type``. Default ``'Magnitude'``.
@@ -89,8 +90,6 @@ class VQT(SpectralTransform):
     >>> vqt_layer = VQT(sr=22050, gamma=2)
     >>> spec = vqt_layer(x)
     """
-
-    _salt_fields = ('matmul_precision', 'use_pallas', 'use_fused_pyramid')
 
     def __init__(
         self,
@@ -113,7 +112,6 @@ class VQT(SpectralTransform):
     ):
         super().__init__()
         self.norm = norm
-        self.hop_length = hop_length
         self.pad_mode = pad_mode
         self.n_bins = n_bins
         self.trainable = trainable
@@ -121,44 +119,15 @@ class VQT(SpectralTransform):
         self.sr = sr
         self.gamma = gamma
 
-        Q = float(filter_scale) / (2 ** (1 / bins_per_octave) - 1)
-        self._register(
-            "lowpass_filter",
-            create_lowpass_filter(
-                band_center=0.5, kernel_length=256, transition_bandwidth=0.001
-            ),
+        # shared 2010-family pyramid calculus (octave count, top-band
+        # placement, Nyquist check, early-downsample wiring, lowpass FIR) —
+        # _init_pyramid sets self.{n_octaves, fmin_t, hop_length,
+        # earlydownsample, downsample_factor} and returns the effective
+        # (post-downsample) sample rate the normalization lengths use
+        Q, sr_eff, n_filters = self._init_pyramid(
+            sr, hop_length, fmin, fmax, n_bins, bins_per_octave,
+            filter_scale, earlydownsample, verbose,
         )
-
-        n_filters = min(bins_per_octave, n_bins)
-        self.n_octaves = int(np.ceil(float(n_bins) / bins_per_octave))
-        self._verbose_print(verbose, f"num_octave = {self.n_octaves}")
-
-        self.fmin_t = fmin * 2 ** (self.n_octaves - 1)
-        remainder = n_bins % bins_per_octave
-        if remainder == 0:
-            fmax_t = self.fmin_t * 2 ** ((bins_per_octave - 1) / bins_per_octave)
-        else:
-            fmax_t = self.fmin_t * 2 ** ((remainder - 1) / bins_per_octave)
-        self.fmin_t = fmax_t / 2 ** (1 - 1 / bins_per_octave)
-        if fmax_t > sr / 2:
-            raise ValueError(
-                f"The top bin {fmax_t}Hz has exceeded the Nyquist frequency, "
-                "please reduce the n_bins"
-            )
-
-        sr_eff = sr
-        if earlydownsample:
-            new_sr, new_hop, factor, filt, active = early_downsample_params(
-                sr, hop_length, fmax_t, Q, self.n_octaves
-            )
-            self.earlydownsample = active
-            self.downsample_factor = factor
-            if active:
-                sr_eff, self.hop_length = new_sr, new_hop
-                self._register("early_downsample_filter", filt)
-        else:
-            self.earlydownsample = False
-            self.downsample_factor = 1.0
 
         alpha = 2.0 ** (1.0 / bins_per_octave) - 1.0
         freqs = fmin * 2.0 ** (np.arange(n_bins) / np.double(bins_per_octave))
