@@ -31,7 +31,11 @@ class _Config:
     use_pallas_synthesis: bool | None = None
     # Fused CQT2010/CQT2010v2/VQT pyramid: all octaves' projections in one
     # batched einsum instead of 7 ill-shaped per-octave dispatches
-    # (ops/pyramid.py). None = auto (on). True/False force it.
+    # (ops/pyramid.py). None = auto: currently OFF — exact (4e-7 vs the
+    # loop, gradient-tested) but not yet A/B'd on real hardware, and the
+    # round-1 gather-based variant of the same idea measured slower; run
+    # tools/profile_r3b.py on-chip and flip the auto policy if it wins.
+    # True/False force it.
     use_fused_pyramid: bool | None = None
     # MXU-staged real FFT for CFP's interior transforms (ops/mxu_fft.py).
     # None = auto (TPU only — CPU pocketfft is already fast). True/False

@@ -42,9 +42,13 @@ from ..core.frame import frame_signal, num_frames
 
 
 def pyramid_enabled() -> bool:
-    """Config gate for the fused pyramid path (None = auto: on)."""
+    """Config gate for the fused pyramid path. None = auto: OFF until the
+    on-chip A/B (tools/profile_r3b.py) proves the fused contraction beats
+    the measured-known-good per-octave loop — the round-1 gather-based
+    octave batching lost (10.5 vs 7.2 ms), and this redesign is exact but
+    unmeasured on real hardware. Flip the auto policy with the data."""
     flag = get_config().use_fused_pyramid
-    return True if flag is None else bool(flag)
+    return False if flag is None else bool(flag)
 
 
 def materialize_frames(x: jax.Array, width: int, hop: int,
