@@ -1,0 +1,74 @@
+"""One-shot runner for the round-3 on-chip backlog (post tunnel outage).
+
+Runs, in order, against the real TPU:
+  1. a calm-chip probe (abort early if the shared chip is in a contention
+     window — all numbers would be garbage),
+  2. the full verification drive (tools/verify_tpu.py — includes the new
+     fused-GL fixed-point-map check),
+  3. the round-3b A/Bs (tools/profile_r3b.py: fused pyramid vs loop, CFP
+     MXU-rfft vs XLA-fft) whose results decide two auto policies:
+       - config.use_fused_pyramid auto (currently OFF): flip ON if the
+         fused contraction wins both precisions,
+       - config.use_mxu_fft auto (currently TPU-on): flip OFF if the MXU
+         path loses,
+  4. a bench.py smoke run (all rows parse, no fallback warnings).
+
+Usage: python tools/onchip_queue.py   (exits nonzero on verify failure)
+"""
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+TOOLS = "tools"
+
+
+def run(name, cmd, timeout):
+    print(f"\n=== {name} ===", flush=True)
+    t0 = time.time()
+    p = subprocess.run([sys.executable] + cmd, timeout=timeout)
+    print(f"=== {name}: rc={p.returncode} in {time.time()-t0:.0f}s ===",
+          flush=True)
+    return p.returncode
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    d = jax.devices()
+    print("devices:", d)
+
+    # calm-chip probe (chained bf16 matmuls; calm ~33+ TFLOP/s at n=4096)
+    n = 4096
+    a = jnp.asarray(np.random.RandomState(0).randn(n, n), jnp.bfloat16)
+
+    @jax.jit
+    def loop(a):
+        acc = 0.0
+        x = a
+        for _ in range(8):
+            x = jnp.matmul(x, a, preferred_element_type=jnp.float32).astype(
+                jnp.bfloat16) * 1e-2
+            acc += jnp.sum(x.astype(jnp.float32))
+        return acc
+
+    float(loop(a))
+    t0 = time.perf_counter()
+    float(loop(a))
+    tflops = 2 * n**3 * 8 / (time.perf_counter() - t0) / 1e12
+    print(f"probe: {tflops:.1f} TFLOP/s bf16")
+    if tflops < 15:
+        print("CHIP CONTENTION WINDOW — numbers unreliable; rerun later")
+
+    rc = run("verify_tpu", [f"{TOOLS}/verify_tpu.py"], timeout=3600)
+    run("profile_r3b (pyramid + MXU-fft A/B)", [f"{TOOLS}/profile_r3b.py"],
+        timeout=3600)
+    run("bench smoke", ["bench.py"], timeout=3600)
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
