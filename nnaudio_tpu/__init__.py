@@ -15,12 +15,13 @@ from .config import (fast_mode, set_matmul_precision, set_use_fused_pyramid,
 
 __all__ = ["config", "fast_mode", "set_matmul_precision", "set_use_pallas",
            "set_use_pallas_synthesis", "set_use_fused_pyramid",
-           "set_use_mxu_fft", "features"]
+           "set_use_mxu_fft", "features", "streaming"]
 
 
 def __getattr__(name):
     # lazy import so `import nnaudio_tpu` stays light
-    if name in ("features", "filters", "core", "ops", "parallel", "utils", "Spectrogram"):
+    if name in ("features", "filters", "core", "ops", "parallel",
+                "utils", "streaming", "Spectrogram"):
         import importlib
 
         return importlib.import_module(f".{name}", __name__)

@@ -1,0 +1,241 @@
+"""Streaming (chunked) feature extraction for online/serving pipelines.
+
+Beyond-reference capability: the reference (and librosa) are offline-only —
+a serving system that receives audio in chunks must either re-run the
+transform over a growing buffer (O(L^2) total work) or hand-roll the
+overlap bookkeeping. This module does the bookkeeping once, exactly:
+
+    stream = StreamingSTFT(n_fft=2048, hop_length=512)
+    state = stream.init_state(batch)
+    for chunk in chunks:                       # each len % hop == 0
+        state, frames = stream.step(state, chunk)
+
+``concat(frames)`` equals the offline ``center=False`` transform of
+``concat(chunks)`` — the same frames hit the same kernels (the state
+carries exactly the samples every frame boundary straddles, so no
+recompute and no approximation at chunk seams; agreement is to the last
+ulp, as the per-chunk matmul tiling may associate reductions differently
+than one whole-signal matmul). All shapes are static per chunk length:
+under ``jit`` each distinct chunk size compiles once, and ``step`` is a
+pure function of ``(state, chunk)`` (pytree state — works under ``vmap``,
+``shard_map``, and in a ``lax.scan`` over pre-split chunks).
+
+TPU mapping: each ``step`` is the same framed basis matmul as the offline
+transform (MXU, fused Pallas epilogues where the workload-size gate allows)
+— streaming changes the slicing, not the kernels.
+
+Design notes / contract:
+- ``center=False`` convention (the only one with a causal streaming
+  equivalent; a centered stream would need ``n_fft//2`` samples of
+  lookahead). Offline equivalence target: ``STFT(..., center=False)``.
+- chunk lengths must be multiples of ``hop_length`` (frame boundaries
+  then land on chunk boundaries; enforced). Chunks may vary in length
+  between calls.
+- the first ``n_fft - hop`` samples only *prime* the state: frame 0 spans
+  ``x[0:n_fft]``, exactly like offline. Until ``n_fft`` samples have
+  arrived, ``step`` emits 0 frames (static per chunk-size/progress, so
+  this only matters for chunks shorter than ``n_fft``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .features.stft import STFT
+from .ops.dispatch import framed_basis_pair, framed_magnitude
+
+
+class StreamState(NamedTuple):
+    """Carry between chunks: the not-yet-consumed tail of the stream
+    (right-aligned, zeros until primed) and how many of its samples are
+    real (a static Python int — part of the jit cache key, NOT traced).
+
+    Capacity is ``ceil((n_fft - hop)/hop) * hop``: with hop-multiple
+    chunks the un-consumed leftover is always ``≡ 0 (mod hop)`` in
+    ``[n_fft - hop, n_fft - hop + hop)``, which exceeds ``n_fft - hop``
+    itself whenever ``n_fft % hop != 0`` (e.g. 512/160 carries 480)."""
+
+    buffer: jax.Array  # (B, buf_cap)
+    primed: int        # count of valid samples in buffer, 0..buf_cap
+
+
+class StreamingSTFT:
+    """Chunked STFT with exact offline equivalence (``center=False``).
+
+    Parameters mirror :class:`~nnaudio_tpu.features.stft.STFT` (the kernel
+    construction is shared); ``output_format`` in {'Magnitude', 'Complex'}.
+
+    Examples
+    --------
+    >>> stream = StreamingSTFT(n_fft=512, hop_length=128)
+    >>> state = stream.init_state(batch=1)
+    >>> state, f1 = stream.step(state, chunk1)   # (1, F, T1)
+    >>> state, f2 = stream.step(state, chunk2)   # (1, F, T2)
+    # jnp.concatenate([f1, f2], -1) == STFT(center=False)(chunk1+chunk2)
+    """
+
+    def __init__(
+        self,
+        n_fft: int = 2048,
+        hop_length: int | None = None,
+        win_length: int | None = None,
+        freq_bins: int | None = None,
+        window: str = "hann",
+        freq_scale: str = "no",
+        sr: float = 22050,
+        fmin: float = 50,
+        fmax: float = 6000,
+        output_format: str = "Magnitude",
+        verbose: bool = False,
+    ):
+        if output_format not in ("Magnitude", "Complex"):
+            raise ValueError(
+                "streaming supports output_format 'Magnitude' or 'Complex'"
+            )
+        self.n_fft = n_fft
+        self.hop = n_fft // 4 if hop_length is None else hop_length
+        if self.hop > n_fft:
+            raise ValueError("hop_length > n_fft has gaps; cannot stream")
+        self.output_format = output_format
+        self._stft = STFT(
+            n_fft=n_fft, hop_length=self.hop, win_length=win_length,
+            freq_bins=freq_bins, window=window, freq_scale=freq_scale,
+            sr=sr, fmin=fmin, fmax=fmax, center=False,
+            output_format=output_format, verbose=verbose,
+        )
+        self._params = dict(self._stft._params)
+        self._jit_cache: dict = {}
+
+    @property
+    def overlap(self) -> int:
+        return self.n_fft - self.hop
+
+    @property
+    def buf_cap(self) -> int:
+        """Carry capacity (see :class:`StreamState`)."""
+        return -(-self.overlap // self.hop) * self.hop
+
+    def init_state(self, batch: int) -> StreamState:
+        return StreamState(
+            buffer=jnp.zeros((batch, self.buf_cap), jnp.float32), primed=0
+        )
+
+    # ------------------------------------------------------------- one step
+    def step(self, state: StreamState, chunk) -> tuple[StreamState, jax.Array]:
+        """Consume one ``(B, C)`` chunk (``C % hop == 0``); return
+        ``(new_state, frames)`` where frames is ``(B, F, T_chunk)``
+        (``T_chunk`` = C//hop once primed; first frames appear when
+        ``n_fft`` total samples have arrived)."""
+        chunk = jnp.asarray(chunk)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        b, c = chunk.shape
+        if c % self.hop:
+            raise ValueError(
+                f"chunk length {c} must be a multiple of hop={self.hop}"
+            )
+        key = (b, c, state.primed, _salt())
+        entry = self._jit_cache.get(key)
+        if entry is None:
+            fn, new_primed = _make_step(self, c, state.primed)
+            entry = (jax.jit(fn), new_primed)
+            self._jit_cache[key] = entry
+        fn, new_primed = entry
+        # `primed` stays a Python int: the jitted body returns only arrays
+        # (a jit-returned NamedTuple would trace the int into an ArrayImpl
+        # and poison the next step's cache key)
+        new_buffer, frames = fn(self._params, state.buffer, chunk)
+        return StreamState(new_buffer, new_primed), frames
+
+    # ------------------------------------------------- whole-signal helper
+    def stream(self, x, chunk_len: int):
+        """Generator over a pre-recorded ``(B, L)`` signal in
+        ``chunk_len``-sized chunks (for testing / file processing)."""
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        state = self.init_state(x.shape[0])
+        for start in range(0, x.shape[-1] - chunk_len + 1, chunk_len):
+            state, frames = self.step(state, x[:, start : start + chunk_len])
+            if frames.shape[2]:  # time axis (shape[-1] is ri for Complex)
+                yield frames
+
+
+def _salt():
+    from .config import cache_salt
+
+    return cache_salt(("matmul_precision", "use_pallas"))
+
+
+def _make_step(s: StreamingSTFT, c: int, primed: int):
+    """Build the step body for a (chunk_len, primed) combination; returns
+    ``(fn, new_primed)`` where fn maps (params, buffer, chunk) ->
+    (new_buffer, frames). All sizes below are Python ints — the traced
+    graph is static."""
+    hop, n_fft, buf_cap = s.hop, s.n_fft, s.buf_cap
+    valid = primed + c          # samples available this step
+    n_frames = max(0, (valid - n_fft) // hop + 1)
+    # samples consumed by emitted frames; the remainder carries over. With
+    # hop-multiple chunks the leftover is in [n_fft-hop, n_fft-hop+hop) ∩
+    # hopZ after any emission, and == valid (< n_fft) while priming — both
+    # bounded by buf_cap.
+    consumed = n_frames * hop
+    new_primed = valid - consumed
+    assert 0 <= new_primed <= buf_cap, (new_primed, buf_cap)
+
+    def step(params, buffer, chunk):
+        ext = jnp.concatenate((buffer[:, buffer.shape[1] - primed:] if primed
+                               else chunk[:, :0], chunk), axis=-1)
+        tail = ext[:, ext.shape[1] - new_primed:] if new_primed else ext[:, :0]
+        pad = buf_cap - new_primed
+        new_buffer = (jnp.pad(tail, ((0, 0), (pad, 0))) if pad else tail)
+        if n_frames == 0:
+            f = params["wcos"].shape[0]
+            out = (jnp.zeros((chunk.shape[0], f, 0), jnp.float32)
+                   if s.output_format == "Magnitude"
+                   else jnp.zeros((chunk.shape[0], f, 0, 2), jnp.float32))
+            return new_buffer, out
+        sig = ext[:, : (n_frames - 1) * hop + n_fft]
+        if s.output_format == "Magnitude":
+            out = framed_magnitude(sig, params["wcos"], params["wsin"], hop,
+                                   eps=0.0)
+        else:
+            re, im_raw = framed_basis_pair(sig, params["wcos"],
+                                           params["wsin"], hop)
+            out = jnp.stack((re, -im_raw), axis=-1)
+        return new_buffer, out
+
+    return step, new_primed
+
+
+class StreamingMel:
+    """Chunked MelSpectrogram: :class:`StreamingSTFT` + the mel projection
+    per chunk (projection is per-frame, so chunk seams are exact)."""
+
+    def __init__(self, sr: float = 22050, n_fft: int = 2048,
+                 hop_length: int = 512, n_mels: int = 128,
+                 fmin: float = 0.0, fmax: float | None = None,
+                 htk: bool = False, norm=1, window: str = "hann",
+                 power: float = 2.0, verbose: bool = False):
+        from .filters.mel import mel_filterbank
+
+        self.power = power
+        self.stft = StreamingSTFT(n_fft=n_fft, hop_length=hop_length,
+                                  window=window, sr=sr,
+                                  output_format="Magnitude", verbose=verbose)
+        self.mel_basis = jnp.asarray(
+            mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk, norm=norm))
+
+    def init_state(self, batch: int) -> StreamState:
+        return self.stft.init_state(batch)
+
+    def step(self, state: StreamState, chunk):
+        from .config import dot_precision
+
+        state, mag = self.stft.step(state, chunk)
+        mel = jnp.einsum("gf,bft->bgt", self.mel_basis, mag ** self.power,
+                         precision=dot_precision(),
+                         preferred_element_type=jnp.float32)
+        return state, mel

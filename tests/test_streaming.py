@@ -1,0 +1,100 @@
+"""Streaming STFT/Mel: chunked processing computes exactly the offline
+center=False transform's frames at the chunk seams (no approximation, no
+recompute; agreement to the last ulp — per-chunk matmul tiling differs).
+Beyond-reference capability (the reference is offline-only)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from nnaudio_tpu import features, streaming
+
+
+def _offline(x, n_fft, hop, fmt):
+    st = features.STFT(n_fft=n_fft, hop_length=hop, center=False,
+                       output_format=fmt, verbose=False)
+    return np.asarray(st(x))
+
+
+@pytest.mark.parametrize("n_fft,hop", [(512, 128), (512, 160), (2048, 512)])
+@pytest.mark.parametrize("fmt", ["Magnitude", "Complex"])
+def test_stream_equals_offline(n_fft, hop, fmt):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, hop * 101 + (n_fft - hop)).astype(np.float32)
+    # trim to a hop-multiple total so chunks tile it exactly
+    total = (x.shape[1] // hop) * hop
+    x = x[:, :total]
+
+    s = streaming.StreamingSTFT(n_fft=n_fft, hop_length=hop,
+                                output_format=fmt)
+    state = s.init_state(batch=2)
+    outs = []
+    # uneven hop-multiple chunks, including ones shorter than n_fft
+    sizes = [hop, hop * 3, hop * 8, hop * 2, hop * 40]
+    pos = 0
+    while pos < total:
+        c = min(sizes[len(outs) % len(sizes)], total - pos)
+        c = (c // hop) * hop or hop
+        state, frames = s.step(state, x[:, pos : pos + c])
+        pos += c
+        if frames.shape[2]:
+            outs.append(np.asarray(frames))
+    got = np.concatenate(outs, axis=2)
+    want = _offline(x, n_fft, hop, fmt)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    # same frames x same kernels; only the matmul tiling differs per chunk
+    # shape, so agreement is to the last ulp, not bitwise
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale)
+
+
+def test_stream_priming_short_chunks():
+    """Chunks shorter than n_fft emit zero frames until primed, then the
+    stream catches up exactly."""
+    n_fft, hop = 512, 128
+    x = np.random.RandomState(1).randn(1, hop * 40).astype(np.float32)
+    s = streaming.StreamingSTFT(n_fft=n_fft, hop_length=hop)
+    state = s.init_state(1)
+    outs = []
+    for pos in range(0, x.shape[1], hop):
+        state, frames = s.step(state, x[:, pos : pos + hop])
+        outs.append(np.asarray(frames))
+    assert all(o.shape[2] == 0 for o in outs[:3])  # priming: < n_fft samples
+    got = np.concatenate(outs, axis=2)
+    want = _offline(x, n_fft, hop, "Magnitude")
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+def test_stream_rejects_bad_chunk():
+    s = streaming.StreamingSTFT(n_fft=512, hop_length=128)
+    with pytest.raises(ValueError):
+        s.step(s.init_state(1), np.zeros((1, 100), np.float32))
+
+
+def test_streaming_mel_matches_offline():
+    sr, n_fft, hop, n_mels = 16000, 1024, 256, 64
+    x = np.random.RandomState(2).randn(1, hop * 80).astype(np.float32)
+    m = streaming.StreamingMel(sr=sr, n_fft=n_fft, hop_length=hop,
+                               n_mels=n_mels)
+    state = m.init_state(1)
+    outs = []
+    for pos in range(0, x.shape[1], hop * 16):
+        state, mel = m.step(state, x[:, pos : pos + hop * 16])
+        if mel.shape[2]:
+            outs.append(np.asarray(mel))
+    got = np.concatenate(outs, axis=2)
+    offline = features.MelSpectrogram(sr=sr, n_fft=n_fft, hop_length=hop,
+                                      n_mels=n_mels, center=False,
+                                      verbose=False)
+    want = np.asarray(offline(x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5 * want.max())
+
+
+def test_stream_generator_helper():
+    n_fft, hop = 512, 128
+    x = np.random.RandomState(3).randn(1, hop * 64).astype(np.float32)
+    s = streaming.StreamingSTFT(n_fft=n_fft, hop_length=hop)
+    got = np.concatenate([np.asarray(f) for f in s.stream(x, hop * 16)],
+                         axis=2)
+    want = _offline(x, n_fft, hop, "Magnitude")
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
