@@ -398,7 +398,26 @@ NAMES = {
 }
 
 
+def _backend_reachable(timeout_s: int = 150) -> bool:
+    """Probe backend init in a SUBPROCESS with a hard timeout: through the
+    axon tunnel, jax.devices() blocks indefinitely during a tunnel outage —
+    probing in-process would hang the whole bench (and its driver)."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_reachable():
+        print("bench: accelerator backend unreachable (tunnel outage?) — "
+              "aborting instead of hanging", file=sys.stderr)
+        sys.exit(2)
     ours = tpu_metrics()
     try:
         ref_feat, torch = load_reference()
