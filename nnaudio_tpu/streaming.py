@@ -16,9 +16,12 @@ carries exactly the samples every frame boundary straddles, so no
 recompute and no approximation at chunk seams; agreement is to the last
 ulp, as the per-chunk matmul tiling may associate reductions differently
 than one whole-signal matmul). All shapes are static per chunk length:
-under ``jit`` each distinct chunk size compiles once, and ``step`` is a
-pure function of ``(state, chunk)`` (pytree state — works under ``vmap``,
-``shard_map``, and in a ``lax.scan`` over pre-split chunks).
+under ``jit`` each distinct (chunk size, progress) pair compiles once. In
+steady state (fixed chunk size, primed) the compiled body is a pure
+array function ``(params, buffer, chunk) -> (buffer', frames)`` — that
+function (not the Python ``step`` wrapper, whose ``primed`` bookkeeping
+is static) can ride ``lax.scan`` over pre-split chunks or ``shard_map``
+over a batch mesh axis.
 
 TPU mapping: each ``step`` is the same framed basis matmul as the offline
 transform (MXU, fused Pallas epilogues where the workload-size gate allows)
