@@ -172,17 +172,22 @@ def _salt():
     return cache_salt(("matmul_precision", "use_pallas"))
 
 
-def _make_step(s: StreamingSTFT, c: int, primed: int):
-    """Build the step body for a (chunk_len, primed) combination; returns
+def _make_carry_step(width: int, hop: int, buf_cap: int, c: int, primed: int,
+                     apply_sig, empty_out):
+    """Generic streaming step for any FRAME-LOCAL transform (output column
+    ``t`` depends only on ``sig[t*hop : t*hop + width]``). Returns
     ``(fn, new_primed)`` where fn maps (params, buffer, chunk) ->
     (new_buffer, frames). All sizes below are Python ints — the traced
-    graph is static."""
-    hop, n_fft, buf_cap = s.hop, s.n_fft, s.buf_cap
+    graph is static.
+
+    ``apply_sig(params, sig)`` computes the transform over an exact-length
+    signal (``(n_frames-1)*hop + width`` samples); ``empty_out(params, b)``
+    builds the zero-frame output while priming."""
     valid = primed + c          # samples available this step
-    n_frames = max(0, (valid - n_fft) // hop + 1)
+    n_frames = max(0, (valid - width) // hop + 1)
     # samples consumed by emitted frames; the remainder carries over. With
-    # hop-multiple chunks the leftover is in [n_fft-hop, n_fft-hop+hop) ∩
-    # hopZ after any emission, and == valid (< n_fft) while priming — both
+    # hop-multiple chunks the leftover is in [width-hop, width-hop+hop) ∩
+    # hopZ after any emission, and == valid (< width) while priming — both
     # bounded by buf_cap.
     consumed = n_frames * hop
     new_primed = valid - consumed
@@ -195,22 +200,106 @@ def _make_step(s: StreamingSTFT, c: int, primed: int):
         pad = buf_cap - new_primed
         new_buffer = (jnp.pad(tail, ((0, 0), (pad, 0))) if pad else tail)
         if n_frames == 0:
-            f = params["wcos"].shape[0]
-            out = (jnp.zeros((chunk.shape[0], f, 0), jnp.float32)
-                   if s.output_format == "Magnitude"
-                   else jnp.zeros((chunk.shape[0], f, 0, 2), jnp.float32))
-            return new_buffer, out
-        sig = ext[:, : (n_frames - 1) * hop + n_fft]
-        if s.output_format == "Magnitude":
-            out = framed_magnitude(sig, params["wcos"], params["wsin"], hop,
-                                   eps=0.0)
-        else:
-            re, im_raw = framed_basis_pair(sig, params["wcos"],
-                                           params["wsin"], hop)
-            out = jnp.stack((re, -im_raw), axis=-1)
-        return new_buffer, out
+            return new_buffer, empty_out(params, chunk.shape[0])
+        sig = ext[:, : (n_frames - 1) * hop + width]
+        return new_buffer, apply_sig(params, sig)
 
     return step, new_primed
+
+
+def _make_step(s: StreamingSTFT, c: int, primed: int):
+    hop = s.hop
+
+    def apply_sig(params, sig):
+        if s.output_format == "Magnitude":
+            return framed_magnitude(sig, params["wcos"], params["wsin"], hop,
+                                    eps=0.0)
+        re, im_raw = framed_basis_pair(sig, params["wcos"], params["wsin"],
+                                       hop)
+        return jnp.stack((re, -im_raw), axis=-1)
+
+    def empty_out(params, b):
+        f = params["wcos"].shape[0]
+        return (jnp.zeros((b, f, 0), jnp.float32)
+                if s.output_format == "Magnitude"
+                else jnp.zeros((b, f, 0, 2), jnp.float32))
+
+    return _make_carry_step(s.n_fft, hop, s.buf_cap, c, primed,
+                            apply_sig, empty_out)
+
+
+class StreamingCQT:
+    """Chunked CQT1992v2 (``center=False``): the wavelet bank's width takes
+    the role of ``n_fft`` — frame ``t`` spans ``x[t*hop : t*hop + width]``,
+    so the same exact carry machinery applies (the bank width is set by
+    ``Q*sr/fmin``, e.g. ~3.8k samples for 84 bins at 22050/32.7 Hz — the
+    stream carries ceil((width-hop)/hop)*hop samples between chunks).
+
+    Any :class:`~nnaudio_tpu.features.cqt.CQT1992v2` constructor argument
+    is accepted (``center`` is forced False); ``output_format`` in
+    {'Magnitude', 'Complex'}; chunks must be hop multiples."""
+
+    def __init__(self, output_format: str = "Magnitude",
+                 normalization_type: str = "librosa", **kwargs):
+        from .features.cqt import CQT1992v2
+
+        if output_format not in ("Magnitude", "Complex"):
+            raise ValueError(
+                "streaming supports output_format 'Magnitude' or 'Complex'"
+            )
+        kwargs.pop("center", None)
+        self._cqt = CQT1992v2(center=False, output_format=output_format,
+                              **kwargs)
+        self.output_format = output_format
+        self.normalization_type = normalization_type
+        self.width = self._cqt.kernel_width
+        self.hop = self._cqt.hop_length
+        if self.hop > self.width:
+            raise ValueError("hop_length > kernel width has gaps; "
+                             "cannot stream")
+        self._params = dict(self._cqt._params)
+        self._jit_cache: dict = {}
+
+    @property
+    def buf_cap(self) -> int:
+        return -(-(self.width - self.hop) // self.hop) * self.hop
+
+    def init_state(self, batch: int) -> StreamState:
+        return StreamState(
+            buffer=jnp.zeros((batch, self.buf_cap), jnp.float32), primed=0
+        )
+
+    def step(self, state: StreamState, chunk):
+        chunk = jnp.asarray(chunk)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        b, c = chunk.shape
+        if c % self.hop:
+            raise ValueError(
+                f"chunk length {c} must be a multiple of hop={self.hop}"
+            )
+        key = (b, c, state.primed, _salt())
+        entry = self._jit_cache.get(key)
+        if entry is None:
+            def apply_sig(params, sig):
+                return self._cqt._forward(
+                    params, sig, output_format=self.output_format,
+                    normalization_type=self.normalization_type)
+
+            def empty_out(params, bb):
+                f = params["cqt_kernels_real"].shape[0]
+                return (jnp.zeros((bb, f, 0), jnp.float32)
+                        if self.output_format == "Magnitude"
+                        else jnp.zeros((bb, f, 0, 2), jnp.float32))
+
+            fn, new_primed = _make_carry_step(
+                self.width, self.hop, self.buf_cap, c, state.primed,
+                apply_sig, empty_out)
+            entry = (jax.jit(fn), new_primed)
+            self._jit_cache[key] = entry
+        fn, new_primed = entry
+        new_buffer, frames = fn(self._params, state.buffer, chunk)
+        return StreamState(new_buffer, new_primed), frames
 
 
 class StreamingMel:

@@ -98,3 +98,27 @@ def test_stream_generator_helper():
                          axis=2)
     want = _offline(x, n_fft, hop, "Magnitude")
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("fmt", ["Magnitude", "Complex"])
+def test_streaming_cqt_matches_offline(fmt):
+    sr, hop, n_bins = 22050, 256, 48
+    kw = dict(sr=sr, hop_length=hop, fmin=110, n_bins=n_bins,
+              bins_per_octave=12)
+    s = streaming.StreamingCQT(output_format=fmt, **kw)
+    total = hop * 200 + s.buf_cap  # ensure many frames
+    total = (total // hop) * hop
+    x = np.random.RandomState(4).randn(1, total).astype(np.float32)
+
+    state = s.init_state(1)
+    outs = []
+    for pos in range(0, total, hop * 20):
+        state, frames = s.step(state, x[:, pos : pos + hop * 20])
+        if frames.shape[2]:
+            outs.append(np.asarray(frames))
+    got = np.concatenate(outs, axis=2)
+
+    offline = features.CQT1992v2(center=False, output_format=fmt, **kw)
+    want = np.asarray(offline(x, output_format=fmt))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
