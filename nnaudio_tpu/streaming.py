@@ -331,3 +331,103 @@ class StreamingMel:
                          precision=dot_precision(),
                          preferred_element_type=jnp.float32)
         return state, mel
+
+
+class StreamingiSTFT:
+    """Chunked overlap-add synthesis — the dual of :class:`StreamingSTFT`
+    (``center=False``): consume ``(B, F, T, 2)`` onesided spectral chunks,
+    emit samples the moment every frame overlapping them has arrived.
+
+    Each chunk of ``T`` frames finalizes exactly ``T*hop`` samples (sample
+    ``s`` is complete once frame ``floor(s/hop)`` has been consumed); the
+    un-finalized ``n_fft - hop``-sample OLA tail and its window-envelope
+    tail carry to the next step. Overlap-add and the envelope are linear,
+    so ``concat(steps..., flush())`` equals the offline
+    ``iSTFT(center=False)(X, onesided=True)`` output exactly.
+
+    Together with :class:`StreamingSTFT` this closes a real-time
+    analysis→modify→resynthesis loop with ``n_fft - hop`` samples of
+    algorithmic latency.
+    """
+
+    def __init__(self, n_fft: int = 2048, hop_length: int | None = None,
+                 win_length: int | None = None, window: str = "hann",
+                 verbose: bool = False):
+        from .features.stft import hermitian_weights
+        from .features import iSTFT
+
+        self._ist = iSTFT(n_fft=n_fft, hop_length=hop_length,
+                          win_length=win_length, window=window,
+                          center=False, verbose=verbose)
+        self.n_fft = n_fft
+        self.hop = self._ist.stride
+        if self.hop > n_fft:
+            raise ValueError("hop_length > n_fft has gaps; cannot stream")
+        p = self._ist._params
+        f = n_fft // 2 + 1
+        wt = hermitian_weights(n_fft, f)
+        w = p["window_mask"]
+        # onesided Hermitian-folded, fully weighted synthesis kernels
+        self._kc = jnp.asarray(p["kernel_cos"][:f] * wt[:, None]
+                               * w[None, :] / n_fft)
+        self._ks = jnp.asarray(p["kernel_sin"][:f] * wt[:, None]
+                               * w[None, :] / n_fft)
+        self._window = jnp.asarray(w)
+        self._jit_cache: dict = {}
+
+    @property
+    def overlap(self) -> int:
+        return self.n_fft - self.hop
+
+    def init_state(self, batch: int):
+        """(OLA tail, envelope tail) — both un-normalized running sums."""
+        return (jnp.zeros((batch, self.overlap), jnp.float32),
+                jnp.zeros((self.overlap,), jnp.float32))
+
+    def step(self, state, X):
+        """``X``: (B, n_fft//2+1, T, 2) onesided frames (T >= 1); returns
+        ``(new_state, samples)`` with ``samples`` shaped (B, T*hop)."""
+        X = jnp.asarray(X)
+        b, f, t = X.shape[0], X.shape[1], X.shape[2]
+        if f != self.n_fft // 2 + 1:
+            raise ValueError(
+                f"expected {self.n_fft // 2 + 1} onesided bins, got {f}")
+        from .config import cache_salt
+
+        # synthesis_ola additionally reads the synthesis-kernel switch
+        key = (b, t, cache_salt(("matmul_precision", "use_pallas",
+                                 "use_pallas_synthesis")))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(self._make_step(t))
+            self._jit_cache[key] = fn
+        tail, env_tail = state
+        new_tail, new_env, out = fn(tail, env_tail, X)
+        return (new_tail, new_env), out
+
+    def _make_step(self, t: int):
+        from .core.overlap import (normalize_by_window_envelope,
+                                   window_sumsquare)
+        from .ops.dispatch import synthesis_ola
+
+        hop, overlap = self.hop, self.overlap
+        emit = t * hop
+        kc, ks, window, n_fft = self._kc, self._ks, self._window, self.n_fft
+
+        def step(tail, env_tail, X):
+            sig = synthesis_ola(X[..., 0], X[..., 1], kc, ks, hop)
+            env = window_sumsquare(window, t, hop, n_fft)
+            if overlap:
+                sig = sig.at[:, :overlap].add(tail)
+                env = env.at[:overlap].add(env_tail)
+            out = normalize_by_window_envelope(sig[:, :emit], env[:emit])
+            return sig[:, emit:], env[emit:], out
+
+        return step
+
+    def flush(self, state):
+        """Emit the final ``n_fft - hop`` tail samples after the last chunk."""
+        from .core.overlap import normalize_by_window_envelope
+
+        tail, env_tail = state
+        return normalize_by_window_envelope(tail, env_tail)

@@ -122,3 +122,46 @@ def test_streaming_cqt_matches_offline(fmt):
     want = np.asarray(offline(x, output_format=fmt))
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+def test_streaming_istft_matches_offline():
+    """Chunked OLA synthesis == offline iSTFT(center=False) exactly, and
+    the full analysis->synthesis streaming loop reconstructs the signal."""
+    n_fft, hop = 512, 128
+    b, t_total = 2, 96
+    rng = np.random.RandomState(5)
+    x = rng.randn(b, (t_total - 1) * hop + n_fft).astype(np.float32)
+
+    st = features.STFT(n_fft=n_fft, hop_length=hop, center=False,
+                       output_format="Complex", verbose=False)
+    X = np.asarray(st(x))
+    offline = features.iSTFT(n_fft=n_fft, hop_length=hop, center=False,
+                             verbose=False)
+    want = np.asarray(offline(X, onesided=True))
+
+    s = streaming.StreamingiSTFT(n_fft=n_fft, hop_length=hop)
+    state = s.init_state(b)
+    outs = []
+    pos = 0
+    for size in (1, 7, 20, 11, 40, t_total):  # uneven frame chunks
+        size = min(size, t_total - pos)
+        if size == 0:
+            break
+        state, samples = s.step(state, X[:, :, pos : pos + size])
+        outs.append(np.asarray(samples))
+        pos += size
+    outs.append(np.asarray(s.flush(state)))
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    scale = np.abs(want).max()
+    # edges divide by a near-zero hann envelope, where last-ulp differences
+    # in the (identical-sum, different-order) envelope accumulation get
+    # amplified; the interior must be tight
+    interior = slice(n_fft, -n_fft)
+    np.testing.assert_allclose(got[:, interior], want[:, interior],
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(got, want, atol=2e-3 * scale)
+
+    # round-trip through BOTH streaming directions: interior must match x
+    np.testing.assert_allclose(got[:, interior], x[:, interior],
+                               atol=1e-4 * np.abs(x).max())
