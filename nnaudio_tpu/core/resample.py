@@ -46,8 +46,12 @@ def downsample_by_n(x: jax.Array, fir: jax.Array, n: int) -> jax.Array:
     pad = (taps - 1) // 2
     b, length = x.shape
     out_len = (length + 2 * pad - taps) // n + 1
-    if out_len <= 0:  # signal shorter than the (even-tap) FIR: empty, as
-        return x[:, :0]  # the reference's conv1d would return
+    if out_len <= 0:
+        # signal shorter than the (even-tap) FIR. Deliberate divergence:
+        # the reference's conv1d RAISES here ("Kernel size can't be greater
+        # than actual input size"); an empty result degrades gracefully at
+        # the deepest pyramid octave of a very short input instead.
+        return x[:, :0]
 
     r = min(_TILE_R, out_len)
     n_tiles = -(-out_len // r)

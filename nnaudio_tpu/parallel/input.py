@@ -29,9 +29,25 @@ def distributed_initialize(**kwargs) -> None:
         return
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
+    except (ValueError, RuntimeError) as e:
         if kwargs:  # an explicitly configured pod must not fail silently
             raise
+        # No kwargs: only "no cluster was detected" degrades to a no-op.
+        # A detected-but-unreachable cluster (grpc/coordinator failures)
+        # must NOT silently fall back to single-process — every collective
+        # afterwards would quietly compute per-host-local results.
+        msg = str(e).lower()
+        if "coordinator_address" in msg or "detect" in msg:
+            return  # no cluster found: single-process no-op
+        if "before any jax" in msg or "already initialized" in msg:
+            # backend already live (single-process sessions hit this
+            # whenever they compute first) — no-op, but say so: on a real
+            # pod a too-late call must not silently degrade
+            import warnings
+
+            warnings.warn(f"distributed_initialize skipped: {e}")
+            return
+        raise
 
 
 def global_batch_from_host_local(

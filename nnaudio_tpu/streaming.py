@@ -64,114 +64,6 @@ class StreamState(NamedTuple):
     primed: int        # count of valid samples in buffer, 0..buf_cap
 
 
-class StreamingSTFT:
-    """Chunked STFT with exact offline equivalence (``center=False``).
-
-    Parameters mirror :class:`~nnaudio_tpu.features.stft.STFT` (the kernel
-    construction is shared); ``output_format`` in {'Magnitude', 'Complex'}.
-
-    Examples
-    --------
-    >>> stream = StreamingSTFT(n_fft=512, hop_length=128)
-    >>> state = stream.init_state(batch=1)
-    >>> state, f1 = stream.step(state, chunk1)   # (1, F, T1)
-    >>> state, f2 = stream.step(state, chunk2)   # (1, F, T2)
-    # jnp.concatenate([f1, f2], -1) == STFT(center=False)(chunk1+chunk2)
-    """
-
-    def __init__(
-        self,
-        n_fft: int = 2048,
-        hop_length: int | None = None,
-        win_length: int | None = None,
-        freq_bins: int | None = None,
-        window: str = "hann",
-        freq_scale: str = "no",
-        sr: float = 22050,
-        fmin: float = 50,
-        fmax: float = 6000,
-        output_format: str = "Magnitude",
-        verbose: bool = False,
-    ):
-        if output_format not in ("Magnitude", "Complex"):
-            raise ValueError(
-                "streaming supports output_format 'Magnitude' or 'Complex'"
-            )
-        self.n_fft = n_fft
-        self.hop = n_fft // 4 if hop_length is None else hop_length
-        if self.hop > n_fft:
-            raise ValueError("hop_length > n_fft has gaps; cannot stream")
-        self.output_format = output_format
-        self._stft = STFT(
-            n_fft=n_fft, hop_length=self.hop, win_length=win_length,
-            freq_bins=freq_bins, window=window, freq_scale=freq_scale,
-            sr=sr, fmin=fmin, fmax=fmax, center=False,
-            output_format=output_format, verbose=verbose,
-        )
-        self._params = dict(self._stft._params)
-        self._jit_cache: dict = {}
-
-    @property
-    def overlap(self) -> int:
-        return self.n_fft - self.hop
-
-    @property
-    def buf_cap(self) -> int:
-        """Carry capacity (see :class:`StreamState`)."""
-        return -(-self.overlap // self.hop) * self.hop
-
-    def init_state(self, batch: int) -> StreamState:
-        return StreamState(
-            buffer=jnp.zeros((batch, self.buf_cap), jnp.float32), primed=0
-        )
-
-    # ------------------------------------------------------------- one step
-    def step(self, state: StreamState, chunk) -> tuple[StreamState, jax.Array]:
-        """Consume one ``(B, C)`` chunk (``C % hop == 0``); return
-        ``(new_state, frames)`` where frames is ``(B, F, T_chunk)``
-        (``T_chunk`` = C//hop once primed; first frames appear when
-        ``n_fft`` total samples have arrived)."""
-        chunk = jnp.asarray(chunk)
-        if chunk.ndim == 1:
-            chunk = chunk[None]
-        b, c = chunk.shape
-        if c % self.hop:
-            raise ValueError(
-                f"chunk length {c} must be a multiple of hop={self.hop}"
-            )
-        key = (b, c, state.primed, _salt())
-        entry = self._jit_cache.get(key)
-        if entry is None:
-            fn, new_primed = _make_step(self, c, state.primed)
-            entry = (jax.jit(fn), new_primed)
-            self._jit_cache[key] = entry
-        fn, new_primed = entry
-        # `primed` stays a Python int: the jitted body returns only arrays
-        # (a jit-returned NamedTuple would trace the int into an ArrayImpl
-        # and poison the next step's cache key)
-        new_buffer, frames = fn(self._params, state.buffer, chunk)
-        return StreamState(new_buffer, new_primed), frames
-
-    # ------------------------------------------------- whole-signal helper
-    def stream(self, x, chunk_len: int):
-        """Generator over a pre-recorded ``(B, L)`` signal in
-        ``chunk_len``-sized chunks (for testing / file processing)."""
-        x = jnp.asarray(x)
-        if x.ndim == 1:
-            x = x[None]
-        state = self.init_state(x.shape[0])
-        for start in range(0, x.shape[-1] - chunk_len + 1, chunk_len):
-            state, frames = self.step(state, x[:, start : start + chunk_len])
-            if frames.shape[2]:  # time axis (shape[-1] is ri for Complex)
-                yield frames
-
-
-def _salt():
-    from .config import cache_salt
-
-    return cache_salt(("matmul_precision", "use_pallas"))
-
-
 def _make_carry_step(width: int, hop: int, buf_cap: int, c: int, primed: int,
                      apply_sig, empty_out):
     """Generic streaming step for any FRAME-LOCAL transform (output column
@@ -207,28 +99,156 @@ def _make_carry_step(width: int, hop: int, buf_cap: int, c: int, primed: int,
     return step, new_primed
 
 
-def _make_step(s: StreamingSTFT, c: int, primed: int):
-    hop = s.hop
+class _StreamingFramed:
+    """Shared chunked-analysis machinery for FRAME-LOCAL transforms
+    (output column ``t`` depends only on ``sig[t*hop : t*hop + width]``).
+    Subclasses call :meth:`_init_stream` and implement
+    ``_apply_sig(params, sig)`` / ``_empty_out(params, batch)``; the
+    jit-cache keys on (batch, chunk_len, progress, config salt) — one
+    compile per distinct combination, via one shared wrapper so the
+    caching contract (incl. keeping ``primed`` a Python int out of the
+    jitted pytree) lives in exactly one place."""
 
-    def apply_sig(params, sig):
-        if s.output_format == "Magnitude":
-            return framed_magnitude(sig, params["wcos"], params["wsin"], hop,
-                                    eps=0.0)
+    #: config switches the _apply_sig graph reads
+    _salt_fields = ("matmul_precision", "use_pallas")
+
+    def _init_stream(self, width: int, hop: int, params: dict) -> None:
+        if hop > width:
+            raise ValueError("hop_length > frame width has gaps; "
+                             "cannot stream")
+        self.width = width
+        self.hop = hop
+        self._params = dict(params)
+        self._jit_cache: dict = {}
+
+    @property
+    def overlap(self) -> int:
+        return self.width - self.hop
+
+    @property
+    def buf_cap(self) -> int:
+        """Carry capacity (see :class:`StreamState`)."""
+        return -(-self.overlap // self.hop) * self.hop
+
+    def init_state(self, batch: int) -> StreamState:
+        return StreamState(
+            buffer=jnp.zeros((batch, self.buf_cap), jnp.float32), primed=0
+        )
+
+    # ------------------------------------------------------------- one step
+    def step(self, state: StreamState, chunk) -> tuple[StreamState, jax.Array]:
+        """Consume one ``(B, C)`` chunk (``C % hop == 0``); return
+        ``(new_state, frames)`` with the time axis sized ``C//hop`` once
+        primed (first frames appear when ``width`` samples have arrived)."""
+        chunk = jnp.asarray(chunk)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        b, c = chunk.shape
+        if c % self.hop:
+            raise ValueError(
+                f"chunk length {c} must be a multiple of hop={self.hop}"
+            )
+        from .config import cache_salt
+
+        key = (b, c, state.primed, cache_salt(self._salt_fields))
+        entry = self._jit_cache.get(key)
+        if entry is None:
+            fn, new_primed = _make_carry_step(
+                self.width, self.hop, self.buf_cap, c, state.primed,
+                self._apply_sig, self._empty_out)
+            entry = (jax.jit(fn), new_primed)
+            self._jit_cache[key] = entry
+        fn, new_primed = entry
+        # `primed` stays a Python int: the jitted body returns only arrays
+        # (a jit-returned NamedTuple would trace the int into an ArrayImpl
+        # and poison the next step's cache key)
+        new_buffer, frames = fn(self._params, state.buffer, chunk)
+        return StreamState(new_buffer, new_primed), frames
+
+    # ------------------------------------------------- whole-signal helper
+    def stream(self, x, chunk_len: int):
+        """Generator over a pre-recorded ``(B, L)`` signal in
+        ``chunk_len``-sized chunks (for testing / file processing). A
+        trailing remainder is processed too, floored to a hop multiple —
+        only the final sub-hop residue (which completes no frame) is
+        dropped."""
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        state = self.init_state(x.shape[0])
+        total = x.shape[-1]
+        pos = 0
+        while pos < total:
+            c = min(chunk_len, total - pos)
+            c = (c // self.hop) * self.hop
+            if c == 0:
+                break
+            state, frames = self.step(state, x[:, pos : pos + c])
+            pos += c
+            if frames.shape[2]:  # time axis (shape[-1] is ri for Complex)
+                yield frames
+
+
+class StreamingSTFT(_StreamingFramed):
+    """Chunked STFT with exact offline equivalence (``center=False``).
+
+    Parameters mirror :class:`~nnaudio_tpu.features.stft.STFT` (the kernel
+    construction is shared); ``output_format`` in {'Magnitude', 'Complex'}.
+
+    Examples
+    --------
+    >>> stream = StreamingSTFT(n_fft=512, hop_length=128)
+    >>> state = stream.init_state(batch=1)
+    >>> state, f1 = stream.step(state, chunk1)   # (1, F, T1)
+    >>> state, f2 = stream.step(state, chunk2)   # (1, F, T2)
+    # jnp.concatenate([f1, f2], -1) == STFT(center=False)(chunk1+chunk2)
+    """
+
+    def __init__(
+        self,
+        n_fft: int = 2048,
+        hop_length: int | None = None,
+        win_length: int | None = None,
+        freq_bins: int | None = None,
+        window: str = "hann",
+        freq_scale: str = "no",
+        sr: float = 22050,
+        fmin: float = 50,
+        fmax: float = 6000,
+        output_format: str = "Magnitude",
+        verbose: bool = False,
+    ):
+        if output_format not in ("Magnitude", "Complex"):
+            raise ValueError(
+                "streaming supports output_format 'Magnitude' or 'Complex'"
+            )
+        self.n_fft = n_fft
+        hop = n_fft // 4 if hop_length is None else hop_length
+        self.output_format = output_format
+        self._stft = STFT(
+            n_fft=n_fft, hop_length=hop, win_length=win_length,
+            freq_bins=freq_bins, window=window, freq_scale=freq_scale,
+            sr=sr, fmin=fmin, fmax=fmax, center=False,
+            output_format=output_format, verbose=verbose,
+        )
+        self._init_stream(n_fft, hop, self._stft._params)
+
+    def _apply_sig(self, params, sig):
+        if self.output_format == "Magnitude":
+            return framed_magnitude(sig, params["wcos"], params["wsin"],
+                                    self.hop, eps=0.0)
         re, im_raw = framed_basis_pair(sig, params["wcos"], params["wsin"],
-                                       hop)
+                                       self.hop)
         return jnp.stack((re, -im_raw), axis=-1)
 
-    def empty_out(params, b):
+    def _empty_out(self, params, b):
         f = params["wcos"].shape[0]
         return (jnp.zeros((b, f, 0), jnp.float32)
-                if s.output_format == "Magnitude"
+                if self.output_format == "Magnitude"
                 else jnp.zeros((b, f, 0, 2), jnp.float32))
 
-    return _make_carry_step(s.n_fft, hop, s.buf_cap, c, primed,
-                            apply_sig, empty_out)
 
-
-class StreamingCQT:
+class StreamingCQT(_StreamingFramed):
     """Chunked CQT1992v2 (``center=False``): the wavelet bank's width takes
     the role of ``n_fft`` — frame ``t`` spans ``x[t*hop : t*hop + width]``,
     so the same exact carry machinery applies (the bank width is set by
@@ -252,59 +272,28 @@ class StreamingCQT:
                               **kwargs)
         self.output_format = output_format
         self.normalization_type = normalization_type
-        self.width = self._cqt.kernel_width
-        self.hop = self._cqt.hop_length
-        if self.hop > self.width:
-            raise ValueError("hop_length > kernel width has gaps; "
-                             "cannot stream")
-        self._params = dict(self._cqt._params)
-        self._jit_cache: dict = {}
+        self._init_stream(self._cqt.kernel_width, self._cqt.hop_length,
+                          self._cqt._params)
 
-    @property
-    def buf_cap(self) -> int:
-        return -(-(self.width - self.hop) // self.hop) * self.hop
+    def _apply_sig(self, params, sig):
+        return self._cqt._forward(
+            params, sig, output_format=self.output_format,
+            normalization_type=self.normalization_type)
 
-    def init_state(self, batch: int) -> StreamState:
-        return StreamState(
-            buffer=jnp.zeros((batch, self.buf_cap), jnp.float32), primed=0
-        )
-
-    def step(self, state: StreamState, chunk):
-        chunk = jnp.asarray(chunk)
-        if chunk.ndim == 1:
-            chunk = chunk[None]
-        b, c = chunk.shape
-        if c % self.hop:
-            raise ValueError(
-                f"chunk length {c} must be a multiple of hop={self.hop}"
-            )
-        key = (b, c, state.primed, _salt())
-        entry = self._jit_cache.get(key)
-        if entry is None:
-            def apply_sig(params, sig):
-                return self._cqt._forward(
-                    params, sig, output_format=self.output_format,
-                    normalization_type=self.normalization_type)
-
-            def empty_out(params, bb):
-                f = params["cqt_kernels_real"].shape[0]
-                return (jnp.zeros((bb, f, 0), jnp.float32)
-                        if self.output_format == "Magnitude"
-                        else jnp.zeros((bb, f, 0, 2), jnp.float32))
-
-            fn, new_primed = _make_carry_step(
-                self.width, self.hop, self.buf_cap, c, state.primed,
-                apply_sig, empty_out)
-            entry = (jax.jit(fn), new_primed)
-            self._jit_cache[key] = entry
-        fn, new_primed = entry
-        new_buffer, frames = fn(self._params, state.buffer, chunk)
-        return StreamState(new_buffer, new_primed), frames
+    def _empty_out(self, params, b):
+        f = params["cqt_kernels_real"].shape[0]
+        return (jnp.zeros((b, f, 0), jnp.float32)
+                if self.output_format == "Magnitude"
+                else jnp.zeros((b, f, 0, 2), jnp.float32))
 
 
-class StreamingMel:
-    """Chunked MelSpectrogram: :class:`StreamingSTFT` + the mel projection
-    per chunk (projection is per-frame, so chunk seams are exact)."""
+class StreamingMel(_StreamingFramed):
+    """Chunked MelSpectrogram. At the default ``power=2`` each step runs
+    the SAME fused frame+DFT+power+mel composite as the offline transform
+    (ops/dispatch.framed_filterbank) — the magnitude spectrogram never
+    exists in HBM on the latency-critical path; other powers take
+    ``|STFT|^p`` then project. Chunk seams are exact (the projection is
+    per-frame)."""
 
     def __init__(self, sr: float = 22050, n_fft: int = 2048,
                  hop_length: int = 512, n_mels: int = 128,
@@ -314,23 +303,29 @@ class StreamingMel:
         from .filters.mel import mel_filterbank
 
         self.power = power
-        self.stft = StreamingSTFT(n_fft=n_fft, hop_length=hop_length,
-                                  window=window, sr=sr,
-                                  output_format="Magnitude", verbose=verbose)
-        self.mel_basis = jnp.asarray(
+        self._stft = STFT(n_fft=n_fft, hop_length=hop_length, window=window,
+                          sr=sr, center=False, output_format="Magnitude",
+                          verbose=verbose)
+        params = dict(self._stft._params)
+        params["mel_basis"] = jnp.asarray(
             mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk, norm=norm))
+        self._init_stream(n_fft, hop_length, params)
 
-    def init_state(self, batch: int) -> StreamState:
-        return self.stft.init_state(batch)
-
-    def step(self, state: StreamState, chunk):
+    def _apply_sig(self, params, sig):
         from .config import dot_precision
+        from .ops.dispatch import framed_filterbank
 
-        state, mag = self.stft.step(state, chunk)
-        mel = jnp.einsum("gf,bft->bgt", self.mel_basis, mag ** self.power,
-                         precision=dot_precision(),
-                         preferred_element_type=jnp.float32)
-        return state, mel
+        if self.power == 2.0:
+            return framed_filterbank(sig, params["wcos"], params["wsin"],
+                                     params["mel_basis"], self.hop, eps=0.0)
+        mag = framed_magnitude(sig, params["wcos"], params["wsin"], self.hop,
+                               eps=0.0)
+        return jnp.einsum("gf,bft->bgt", params["mel_basis"],
+                          mag ** self.power, precision=dot_precision(),
+                          preferred_element_type=jnp.float32)
+
+    def _empty_out(self, params, b):
+        return jnp.zeros((b, params["mel_basis"].shape[0], 0), jnp.float32)
 
 
 class StreamingiSTFT:

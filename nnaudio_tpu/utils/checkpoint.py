@@ -37,9 +37,12 @@ def load_params(path: str) -> dict:
         return ckptr.restore(os.path.abspath(path))
 
 
-def restore_transform(transform, path: str) -> None:
-    """Load parameters into an existing transform in place."""
-    transform.load_state_dict(load_params(path))
+def restore_transform(transform, path: str, strict: bool = True) -> None:
+    """Load parameters into an existing transform in place. ``strict``
+    (default) raises on missing/unexpected keys (torch parity); pass
+    ``strict=False`` to load the intersection, e.g. for checkpoints from
+    an older package version with a different parameter set."""
+    transform.load_state_dict(load_params(path), strict=strict)
 
 
 def save_sharded(path: str, params: Mapping[str, jax.Array]) -> None:

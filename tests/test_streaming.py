@@ -91,12 +91,16 @@ def test_streaming_mel_matches_offline():
 
 
 def test_stream_generator_helper():
+    """Including a trailing partial chunk (3 hops past the last full
+    chunk_len): the generator must process the hop-floored remainder
+    rather than silently truncating the feature matrix."""
     n_fft, hop = 512, 128
-    x = np.random.RandomState(3).randn(1, hop * 64).astype(np.float32)
+    x = np.random.RandomState(3).randn(1, hop * 67).astype(np.float32)
     s = streaming.StreamingSTFT(n_fft=n_fft, hop_length=hop)
     got = np.concatenate([np.asarray(f) for f in s.stream(x, hop * 16)],
                          axis=2)
     want = _offline(x, n_fft, hop, "Magnitude")
+    assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
 
 

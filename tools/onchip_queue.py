@@ -17,17 +17,20 @@ Usage: python tools/onchip_queue.py   (exits nonzero on verify failure)
 """
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
 
-TOOLS = "tools"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOLS = os.path.join(REPO, "tools")
 
 
 def run(name, cmd, timeout):
     print(f"\n=== {name} ===", flush=True)
     t0 = time.time()
-    p = subprocess.run([sys.executable] + cmd, timeout=timeout)
+    # cwd=REPO: the child scripts resolve the package via sys.path.insert(".")
+    p = subprocess.run([sys.executable] + cmd, timeout=timeout, cwd=REPO)
     print(f"=== {name}: rc={p.returncode} in {time.time()-t0:.0f}s ===",
           flush=True)
     return p.returncode
@@ -63,10 +66,11 @@ def main():
     if tflops < 15:
         print("CHIP CONTENTION WINDOW — numbers unreliable; rerun later")
 
-    rc = run("verify_tpu", [f"{TOOLS}/verify_tpu.py"], timeout=3600)
-    run("profile_r3b (pyramid + MXU-fft A/B)", [f"{TOOLS}/profile_r3b.py"],
-        timeout=3600)
-    run("bench smoke", ["bench.py"], timeout=3600)
+    rc = run("verify_tpu", [os.path.join(TOOLS, "verify_tpu.py")],
+             timeout=3600)
+    run("profile_r3b (pyramid + MXU-fft A/B)",
+        [os.path.join(TOOLS, "profile_r3b.py")], timeout=3600)
+    run("bench smoke", [os.path.join(REPO, "bench.py")], timeout=3600)
     sys.exit(rc)
 
 
