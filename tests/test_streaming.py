@@ -169,3 +169,24 @@ def test_streaming_istft_matches_offline():
     # round-trip through BOTH streaming directions: interior must match x
     np.testing.assert_allclose(got[:, interior], x[:, interior],
                                atol=1e-4 * np.abs(x).max())
+
+
+def test_streaming_mel_power1_matches_offline():
+    """The non-fused (power != 2) StreamingMel branch."""
+    sr, n_fft, hop, n_mels = 16000, 512, 128, 40
+    x = np.random.RandomState(6).randn(1, hop * 60).astype(np.float32)
+    m = streaming.StreamingMel(sr=sr, n_fft=n_fft, hop_length=hop,
+                               n_mels=n_mels, power=1.0)
+    state = m.init_state(1)
+    outs = []
+    for pos in range(0, x.shape[1], hop * 12):
+        state, mel = m.step(state, x[:, pos : pos + hop * 12])
+        if mel.shape[2]:
+            outs.append(np.asarray(mel))
+    got = np.concatenate(outs, axis=2)
+    offline = features.MelSpectrogram(sr=sr, n_fft=n_fft, hop_length=hop,
+                                      n_mels=n_mels, power=1.0, center=False,
+                                      verbose=False)
+    want = np.asarray(offline(x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5 * want.max())
