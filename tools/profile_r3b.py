@@ -58,7 +58,10 @@ def make_timed(fn, *args, iters=8):
     return run
 
 
-def ab(name, run_a, run_b, repeats=6):
+_WINS: dict[str, list[bool]] = {}
+
+
+def ab(name, run_a, run_b, repeats=6, decide: str | None = None):
     ta, tb = [], []
     for _ in range(repeats):
         ta.append(run_a())
@@ -66,6 +69,17 @@ def ab(name, run_a, run_b, repeats=6):
     a, b = min(ta), min(tb)
     print(f"{name}: A {a*1e3:7.2f} ms ({AUDIO_S/a:7.0f} a-s/s)  "
           f"B {b*1e3:7.2f} ms ({AUDIO_S/b:7.0f} a-s/s)  A/B {b/a:.2f}x")
+    if decide:
+        _WINS.setdefault(decide, []).append(a < b)
+
+
+def recommend():
+    for policy, wins in _WINS.items():
+        n = sum(wins)
+        verdict = ("flip auto ON" if n == len(wins)
+                   else "keep auto OFF" if n == 0
+                   else f"mixed ({n}/{len(wins)} wins) — judge per config")
+        print(f"RECOMMENDATION [{policy}]: A wins {n}/{len(wins)} -> {verdict}")
 
 
 def pyramid_ab():
@@ -91,7 +105,8 @@ def pyramid_ab():
             else:
                 with ctx():
                     run_f, run_l = build(True), build(False)
-            ab(f"{label:10s} {prec_name:7s} fused(A) vs loop(B)", run_f, run_l)
+            ab(f"{label:10s} {prec_name:7s} fused(A) vs loop(B)", run_f, run_l,
+               decide="use_fused_pyramid")
             set_use_fused_pyramid(None)
 
 
@@ -111,7 +126,8 @@ def cfp_decompose():
     run_full_mxu = make_timed(lambda xx: m._forward(p, xx), xl, iters=4)
     run_stft_mxu = make_timed(lambda xx: m._stft_mag(p, xx), xl, iters=4)
     set_use_mxu_fft(None)
-    ab("CFP full  mxu(A) vs xla-fft(B)", run_full_mxu, run_full)
+    ab("CFP full  mxu(A) vs xla-fft(B)", run_full_mxu, run_full,
+       decide="use_mxu_fft")
     ab("CFP stft  mxu(A) vs xla-fft(B)", run_stft_mxu, run_stft)
 
     spec0 = jnp.asarray(np.asarray(m._stft_mag(p, xl))[:, 1:-1])
@@ -142,6 +158,7 @@ def main():
     print(f"probe: {probe():.1f} TFLOP/s bf16 (calm ~33 at n=4096)")
     pyramid_ab()
     cfp_decompose()
+    recommend()
 
 
 if __name__ == "__main__":
