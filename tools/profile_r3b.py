@@ -76,10 +76,11 @@ def ab(name, run_a, run_b, repeats=6, decide: str | None = None):
 def recommend():
     for policy, wins in _WINS.items():
         n = sum(wins)
-        verdict = ("flip auto ON" if n == len(wins)
-                   else "keep auto OFF" if n == 0
-                   else f"mixed ({n}/{len(wins)} wins) — judge per config")
-        print(f"RECOMMENDATION [{policy}]: A wins {n}/{len(wins)} -> {verdict}")
+        verdict = ("auto should take the A path" if n == len(wins)
+                   else "auto should take the B path" if n == 0
+                   else f"mixed ({n}/{len(wins)} A wins) — set auto per config")
+        print(f"RECOMMENDATION [{policy}]: A wins {n}/{len(wins)} -> {verdict}"
+              " (A = fused pyramid / MXU rfft; B = per-octave loop / XLA fft)")
 
 
 def pyramid_ab():
