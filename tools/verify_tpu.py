@@ -170,6 +170,26 @@ def main():
     check("griffin_lim_fused_semantics", d_all < 3e-2 and d_tail < 3e-2,
           f"max_rel={d_all:.2e} tail={d_tail:.2e}")
 
+    # streaming (round 3c): chunked == offline center=False on-chip
+    from nnaudio_tpu import streaming
+
+    sN, sH = 1024, 256
+    xs = np.random.RandomState(9).randn(2, sH * 120).astype(np.float32)
+    sstft = streaming.StreamingSTFT(n_fft=sN, hop_length=sH)
+    sstate = sstft.init_state(2)
+    souts = []
+    for pos in range(0, xs.shape[1], sH * 24):
+        sstate, fr = sstft.step(sstate, xs[:, pos : pos + sH * 24])
+        if fr.shape[2]:
+            souts.append(np.asarray(fr))
+    sgot = np.concatenate(souts, axis=2)
+    swant = np.asarray(features.STFT(n_fft=sN, hop_length=sH, center=False,
+                                     output_format="Magnitude",
+                                     verbose=False)(xs))
+    srel = np.abs(sgot - swant).max() / np.abs(swant).max()
+    check("streaming_stft_vs_offline",
+          sgot.shape == swant.shape and srel < 1e-4, f"rel_err={srel:.2e}")
+
     # checkpoint round-trip (npz)
     import tempfile, os
 
