@@ -6,6 +6,10 @@ transforms must be bit-identical under batch sharding, kernel-bank sharding
 must concatenate to the replicated result, and the time-sharded STFT must
 equal the single-device center=False STFT of the halo-padded signal.
 """
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 import jax
@@ -352,6 +356,115 @@ def test_distributed_initialize_single_process_noop():
     # must not raise (and must not pre-initialize the backend via
     # process_count probing) in a plain single-process environment
     parallel.distributed_initialize()
+
+
+def _fresh_jax_env():
+    """Env for a subprocess that must bring up its own JAX runtime: strip the
+    parent suite's 8-device XLA flag and any distributed service vars."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    for k in list(env):
+        if k.startswith(("JAX_COORDINATOR", "JAX_NUM_PROCESSES",
+                         "JAX_PROCESS_ID")):
+            env.pop(k)
+    return env
+
+
+def test_distributed_initialize_error_messages_still_match():
+    """Pin the jax.distributed.initialize failure wording that
+    ``parallel/input.py`` substring-matches on (advisor round 3): a JAX
+    upgrade that rewords the no-cluster error must fail HERE loudly instead
+    of silently changing distributed_initialize's fallback behavior."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "try:\n"
+        "    jax.distributed.initialize()\n"
+        "    print('NOERROR')\n"
+        "except (ValueError, RuntimeError) as e:\n"
+        "    print('MSG:' + str(e).lower().replace(chr(10), ' '))\n"
+    )
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120, env=_fresh_jax_env())
+    out = p.stdout
+    assert p.returncode == 0, p.stderr
+    if "NOERROR" in out:
+        return  # auto-detection succeeded single-process: fallback unused
+    msg = out.split("MSG:", 1)[1]
+    known = ("coordinator_address" in msg or "detect" in msg
+             or "before any jax" in msg or "already initialized" in msg)
+    assert known, (
+        "jax.distributed.initialize's no-cluster error message changed; "
+        "update the substring matcher in nnaudio_tpu/parallel/input.py: "
+        + msg
+    )
+
+
+def test_multiprocess_dp_matches_single_process():
+    """The TRUE multi-host path: two OS processes form a real
+    ``jax.distributed`` cluster (localhost coordinator, 4 virtual CPU devices
+    each -> 8 global), assemble a global batch from host-local halves with
+    ``global_batch_from_host_local``, and run a trainable-Mel loss + grad
+    SPMD across both processes. Must equal the single-process computation.
+
+    Reference analog: the DataParallel smoke tests actually ran their
+    multi-device path live (/root/reference/Installation/tests/
+    test_stft.py:116-141); before this test the multi-process branches of
+    parallel/input.py had never executed anywhere.
+    """
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    env = _fresh_jax_env()
+    procs = [
+        subprocess.Popen([sys.executable, worker, coord, str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+            assert p.returncode == 0, out
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                kv = dict(f.split("=", 1) for f in line.split()[1:])
+                results[int(kv["pid"])] = (float(kv["loss"]),
+                                           float(kv["gsum"]))
+    assert set(results) == {0, 1}, outs
+    # both processes must agree exactly (replicated outputs)
+    assert results[0] == results[1]
+
+    # single-process oracle: same layer, same seed, full batch
+    layer = features.MelSpectrogram(
+        sr=16000, n_fft=512, n_mels=48, hop_length=256,
+        trainable_mel=True, trainable_STFT=True, verbose=False,
+    )
+    full = np.random.RandomState(0).randn(8, 8192).astype(np.float32)
+    params = dict(layer._params)
+
+    def loss_fn(params, x):
+        return jnp.mean(layer._forward(params, x) ** 2)
+
+    want_loss = float(jax.jit(loss_fn)(params, full))
+    grads = jax.jit(jax.grad(loss_fn))(params, full)
+    want_gsum = float(sum(jnp.sum(jnp.abs(g)) for g in grads.values()))
+    got_loss, got_gsum = results[0]
+    assert np.isclose(got_loss, want_loss, rtol=1e-5), (got_loss, want_loss)
+    assert np.isclose(got_gsum, want_gsum, rtol=1e-4), (got_gsum, want_gsum)
 
 
 def test_downsample_shorter_than_fir_is_empty():

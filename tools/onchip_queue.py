@@ -13,7 +13,11 @@ Runs, in order, against the real TPU:
          path loses,
   4. a bench.py smoke run (all rows parse, no fallback warnings).
 
-Usage: python tools/onchip_queue.py   (exits nonzero on verify failure)
+Usage: python tools/onchip_queue.py [--force]
+Exits nonzero on verify failure, or immediately (rc=3) when the calm-chip
+probe measures below 15 TFLOP/s bf16 — pass --force to run the backlog on a
+contended chip anyway (the A/B results then should NOT be used to set auto
+policies).
 """
 from __future__ import annotations
 
@@ -65,6 +69,9 @@ def main():
     print(f"probe: {tflops:.1f} TFLOP/s bf16")
     if tflops < 15:
         print("CHIP CONTENTION WINDOW — numbers unreliable; rerun later")
+        if "--force" not in sys.argv:
+            print("aborting (pass --force to run anyway)")
+            sys.exit(3)
 
     rc = run("verify_tpu", [os.path.join(TOOLS, "verify_tpu.py")],
              timeout=3600)
