@@ -50,7 +50,11 @@ def downsample_by_n(x: jax.Array, fir: jax.Array, n: int) -> jax.Array:
         # signal shorter than the (even-tap) FIR. Deliberate divergence:
         # the reference's conv1d RAISES here ("Kernel size can't be greater
         # than actual input size"); an empty result degrades gracefully at
-        # the deepest pyramid octave of a very short input instead.
+        # the deepest pyramid octave of a very short input instead — the
+        # pyramid callers' _center_pad switches reflect -> constant for any
+        # level shorter than pad+1 (including length 0), so the empty level
+        # becomes an all-zero padded frame, never a reflect of nothing
+        # (regression: test_cqt.py::test_pyramid_empty_deepest_level).
         return x[:, :0]
 
     r = min(_TILE_R, out_len)

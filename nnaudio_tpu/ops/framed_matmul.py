@@ -42,6 +42,7 @@ path (ops/dispatch.py).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 
@@ -655,6 +656,34 @@ def _framed_magnitude_kchunk(x, wcos_t, wsin_t, hop, w, q, kc, n_chunks,
 # matters) clear it by orders of magnitude.
 _MIN_FUSED_FRAMES = 1024
 
+# trace-time override of the workload gate (see force_fuse): None = gate
+# decides; True = always fuse (steady-state streaming amortizes the Mosaic
+# compile across thousands of identical steps); False = never fuse.
+_FORCE_FUSE: bool | None = None
+
+
+@contextlib.contextmanager
+def force_fuse(value: bool | None):
+    """Override the ``_MIN_FUSED_FRAMES`` workload gate while tracing.
+
+    The gate exists to keep one-shot toy workloads off the slow-compiling
+    Mosaic path; a steady-state stream re-runs one compiled step thousands
+    of times, so ``nnaudio_tpu.streaming`` traces its step under
+    ``force_fuse(True)`` when asked (``fuse=True``)."""
+    global _FORCE_FUSE
+    prev = _FORCE_FUSE
+    _FORCE_FUSE = value
+    try:
+        yield
+    finally:
+        _FORCE_FUSE = prev
+
+
+def _fuse_workload_ok(total_frames: int) -> bool:
+    if _FORCE_FUSE is not None:
+        return _FORCE_FUSE
+    return total_frames >= _MIN_FUSED_FRAMES
+
 # K-chunked giant-bank kernel: correct (1e-7 vs XLA on chip) but measured at
 # parity with XLA for fp32 giant banks — off by default, see the note in
 # framed_magnitude_pallas.
@@ -668,7 +697,7 @@ def _get_plan(x, wcos, hop, highest, n_out=1, n_mels=0):
             and length >= n_fft):
         return None
     t_total = (length - n_fft) // hop + 1
-    if x.shape[0] * t_total < _MIN_FUSED_FRAMES:
+    if not _fuse_workload_ok(x.shape[0] * t_total):
         return None
     return _plan(x.shape[0], n_fft, wcos.shape[0], t_total, hop, highest,
                  n_out=n_out, n_mels=n_mels)
@@ -681,7 +710,7 @@ def gl_step_plan(b, length, f, n_fft, hop):
     length. The GL loop runs entirely on ``(B, f_padded, t_padded)`` carries
     — padding lives OUTSIDE the loop (zero rows/cols carry exact zeros
     through the fixed point: padded S = 0 forces padded c = 0)."""
-    if b * ((length - n_fft) // hop + 1) < _MIN_FUSED_FRAMES:
+    if not _fuse_workload_ok(b * ((length - n_fft) // hop + 1)):
         return None
     t_total = (length - n_fft) // hop + 1
     plan = _plan(b, n_fft, f, t_total, hop, highest=False, n_out=3)
@@ -796,7 +825,7 @@ def framed_magnitude_pallas(x, wcos, wsin, hop, highest: bool, eps: float = 0.0,
             and length >= n_fft):
         return None
     t_total = (length - n_fft) // hop + 1
-    if x.shape[0] * t_total < _MIN_FUSED_FRAMES:
+    if not _fuse_workload_ok(x.shape[0] * t_total):
         return None
     kplan = _plan_kchunk(x.shape[0], n_fft, wcos.shape[0], t_total, hop,
                          highest)
@@ -1042,7 +1071,7 @@ def synthesis_ola_pallas(spec_re, spec_im, kc, ks, hop, highest: bool):
         return None
     boundary = (n_chunks - 1) * q
     tail_rows = max(8, -(-boundary // 8) * 8)
-    if spec_re.shape[0] * spec_re.shape[2] < _MIN_FUSED_FRAMES:
+    if not _fuse_workload_ok(spec_re.shape[0] * spec_re.shape[2]):
         return None  # see _MIN_FUSED_FRAMES: XLA compiles 40x faster
     f = kc.shape[0]
     kpad = n_chunks * w

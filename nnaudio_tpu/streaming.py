@@ -24,8 +24,14 @@ is static) can ride ``lax.scan`` over pre-split chunks or ``shard_map``
 over a batch mesh axis.
 
 TPU mapping: each ``step`` is the same framed basis matmul as the offline
-transform (MXU, fused Pallas epilogues where the workload-size gate allows)
-— streaming changes the slicing, not the kernels.
+transform (MXU). By default a serving-sized chunk sits below the fused
+kernels' workload gate (``ops.framed_matmul._MIN_FUSED_FRAMES`` exists to
+keep one-shot toy workloads off the ~60-90 s Mosaic compile path), so steps
+run the fast-compiling XLA path. A steady-state stream re-runs ONE compiled
+step thousands of times, amortizing that compile — pass ``fuse=True`` to
+trace the step with the gate overridden and run the fused Pallas kernels
+per chunk (or ``fuse=False`` to pin the XLA path; default ``None`` leaves
+the workload gate in charge).
 
 Design notes / contract:
 - ``center=False`` convention (the only one with a causal streaming
@@ -47,7 +53,29 @@ import jax
 import jax.numpy as jnp
 
 from .features.stft import STFT
+from .ops import framed_matmul
 from .ops.dispatch import framed_basis_pair, framed_magnitude
+
+
+# distinct (batch, chunk_len, progress) jit-cache keys before warning: a
+# caller feeding network-paced variable-length chunks pays a fresh
+# trace/compile per distinct chunk length (60-90 s each when fused) and the
+# cache grows without bound — pad chunks to one fixed length.
+_CACHE_WARN_KEYS = 16
+
+
+def _warn_cache_growth(obj) -> None:
+    if obj._cache_warned or len(obj._jit_cache) < _CACHE_WARN_KEYS:
+        return
+    obj._cache_warned = True
+    import warnings
+
+    warnings.warn(
+        f"{type(obj).__name__}.step has compiled {len(obj._jit_cache)} "
+        "distinct (batch, chunk_len, progress) combinations; each costs a "
+        "fresh trace/compile and is cached forever. Pad variable-length "
+        "chunks to one fixed size."
+    )
 
 
 class StreamState(NamedTuple):
@@ -112,14 +140,17 @@ class _StreamingFramed:
     #: config switches the _apply_sig graph reads
     _salt_fields = ("matmul_precision", "use_pallas")
 
-    def _init_stream(self, width: int, hop: int, params: dict) -> None:
+    def _init_stream(self, width: int, hop: int, params: dict,
+                     fuse: bool | None = None) -> None:
         if hop > width:
             raise ValueError("hop_length > frame width has gaps; "
                              "cannot stream")
         self.width = width
         self.hop = hop
+        self.fuse = fuse
         self._params = dict(params)
         self._jit_cache: dict = {}
+        self._cache_warned = False
 
     @property
     def overlap(self) -> int:
@@ -139,7 +170,13 @@ class _StreamingFramed:
     def step(self, state: StreamState, chunk) -> tuple[StreamState, jax.Array]:
         """Consume one ``(B, C)`` chunk (``C % hop == 0``); return
         ``(new_state, frames)`` with the time axis sized ``C//hop`` once
-        primed (first frames appear when ``width`` samples have arrived)."""
+        primed (first frames appear when ``width`` samples have arrived).
+
+        Feed a FIXED chunk length in steady state: every distinct
+        ``(batch, len(chunk), progress)`` combination traces and compiles a
+        fresh step (60-90 s each on TPU when ``fuse=True``) and the compiled
+        functions are cached per combination without bound — pad
+        network-paced variable-length chunks to one size."""
         chunk = jnp.asarray(chunk)
         if chunk.ndim == 1:
             chunk = chunk[None]
@@ -150,9 +187,10 @@ class _StreamingFramed:
             )
         from .config import cache_salt
 
-        key = (b, c, state.primed, cache_salt(self._salt_fields))
+        key = (b, c, state.primed, self.fuse, cache_salt(self._salt_fields))
         entry = self._jit_cache.get(key)
         if entry is None:
+            _warn_cache_growth(self)
             fn, new_primed = _make_carry_step(
                 self.width, self.hop, self.buf_cap, c, state.primed,
                 self._apply_sig, self._empty_out)
@@ -161,8 +199,10 @@ class _StreamingFramed:
         fn, new_primed = entry
         # `primed` stays a Python int: the jitted body returns only arrays
         # (a jit-returned NamedTuple would trace the int into an ArrayImpl
-        # and poison the next step's cache key)
-        new_buffer, frames = fn(self._params, state.buffer, chunk)
+        # and poison the next step's cache key). Tracing happens inside the
+        # first fn() call, so the fuse override wraps the call, not the jit.
+        with framed_matmul.force_fuse(self.fuse):
+            new_buffer, frames = fn(self._params, state.buffer, chunk)
         return StreamState(new_buffer, new_primed), frames
 
     # ------------------------------------------------- whole-signal helper
@@ -217,6 +257,7 @@ class StreamingSTFT(_StreamingFramed):
         fmax: float = 6000,
         output_format: str = "Magnitude",
         verbose: bool = False,
+        fuse: bool | None = None,
     ):
         if output_format not in ("Magnitude", "Complex"):
             raise ValueError(
@@ -231,7 +272,7 @@ class StreamingSTFT(_StreamingFramed):
             sr=sr, fmin=fmin, fmax=fmax, center=False,
             output_format=output_format, verbose=verbose,
         )
-        self._init_stream(n_fft, hop, self._stft._params)
+        self._init_stream(n_fft, hop, self._stft._params, fuse=fuse)
 
     def _apply_sig(self, params, sig):
         if self.output_format == "Magnitude":
@@ -260,7 +301,8 @@ class StreamingCQT(_StreamingFramed):
     {'Magnitude', 'Complex'}; chunks must be hop multiples."""
 
     def __init__(self, output_format: str = "Magnitude",
-                 normalization_type: str = "librosa", **kwargs):
+                 normalization_type: str = "librosa",
+                 fuse: bool | None = None, **kwargs):
         from .features.cqt import CQT1992v2
 
         if output_format not in ("Magnitude", "Complex"):
@@ -273,7 +315,7 @@ class StreamingCQT(_StreamingFramed):
         self.output_format = output_format
         self.normalization_type = normalization_type
         self._init_stream(self._cqt.kernel_width, self._cqt.hop_length,
-                          self._cqt._params)
+                          self._cqt._params, fuse=fuse)
 
     def _apply_sig(self, params, sig):
         return self._cqt._forward(
@@ -287,45 +329,159 @@ class StreamingCQT(_StreamingFramed):
                 else jnp.zeros((b, f, 0, 2), jnp.float32))
 
 
-class StreamingMel(_StreamingFramed):
-    """Chunked MelSpectrogram. At the default ``power=2`` each step runs
-    the SAME fused frame+DFT+power+mel composite as the offline transform
-    (ops/dispatch.framed_filterbank) — the magnitude spectrogram never
-    exists in HBM on the latency-critical path; other powers take
-    ``|STFT|^p`` then project. Chunk seams are exact (the projection is
-    per-frame)."""
+class _StreamingFilterbank(_StreamingFramed):
+    """Shared chunked machinery for filterbank spectrograms: Mel, Gammatone,
+    Chroma, and MFCC are all frame-local projections of ``|STFT|^power``
+    (plus an optional per-frame epilogue, :meth:`_post`). At the default
+    ``power=2`` each step runs the SAME fused frame+DFT+power+projection
+    composite as the offline transforms (ops/dispatch.framed_filterbank) —
+    the magnitude spectrogram never exists in HBM on the latency-critical
+    path; other powers take ``|STFT|^p`` then project. Chunk seams are
+    exact (every stage is per-frame)."""
 
-    def __init__(self, sr: float = 22050, n_fft: int = 2048,
-                 hop_length: int = 512, n_mels: int = 128,
-                 fmin: float = 0.0, fmax: float | None = None,
-                 htk: bool = False, norm=1, window: str = "hann",
-                 power: float = 2.0, verbose: bool = False):
-        from .filters.mel import mel_filterbank
-
+    def _init_filterbank(self, sr, n_fft, hop_length, window, power, basis,
+                         verbose, fuse):
         self.power = power
         self._stft = STFT(n_fft=n_fft, hop_length=hop_length, window=window,
                           sr=sr, center=False, output_format="Magnitude",
                           verbose=verbose)
         params = dict(self._stft._params)
-        params["mel_basis"] = jnp.asarray(
-            mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk, norm=norm))
-        self._init_stream(n_fft, hop_length, params)
+        params["basis"] = jnp.asarray(basis)
+        self._init_stream(n_fft, hop_length, params, fuse=fuse)
 
-    def _apply_sig(self, params, sig):
+    def _project(self, params, sig):
         from .config import dot_precision
         from .ops.dispatch import framed_filterbank
 
         if self.power == 2.0:
             return framed_filterbank(sig, params["wcos"], params["wsin"],
-                                     params["mel_basis"], self.hop, eps=0.0)
+                                     params["basis"], self.hop, eps=0.0)
         mag = framed_magnitude(sig, params["wcos"], params["wsin"], self.hop,
                                eps=0.0)
-        return jnp.einsum("gf,bft->bgt", params["mel_basis"],
+        return jnp.einsum("gf,bft->bgt", params["basis"],
                           mag ** self.power, precision=dot_precision(),
                           preferred_element_type=jnp.float32)
 
+    def _apply_sig(self, params, sig):
+        return self._post(params, self._project(params, sig))
+
+    def _post(self, params, out):  # per-frame epilogue; identity by default
+        return out
+
+    def _out_bins(self, params) -> int:
+        return params["basis"].shape[0]
+
     def _empty_out(self, params, b):
-        return jnp.zeros((b, params["mel_basis"].shape[0], 0), jnp.float32)
+        return jnp.zeros((b, self._out_bins(params), 0), jnp.float32)
+
+
+class StreamingMel(_StreamingFilterbank):
+    """Chunked MelSpectrogram (see :class:`_StreamingFilterbank`)."""
+
+    def __init__(self, sr: float = 22050, n_fft: int = 2048,
+                 hop_length: int = 512, n_mels: int = 128,
+                 fmin: float = 0.0, fmax: float | None = None,
+                 htk: bool = False, norm=1, window: str = "hann",
+                 power: float = 2.0, verbose: bool = False,
+                 fuse: bool | None = None):
+        from .filters.mel import mel_filterbank
+
+        basis = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk,
+                               norm=norm)
+        self._init_filterbank(sr, n_fft, hop_length, window, power, basis,
+                              verbose, fuse)
+
+
+class StreamingMFCC(_StreamingFilterbank):
+    """Chunked MFCC: log-power Mel + DCT-II crop, per-frame, so chunk seams
+    are exact — EXCEPT that the offline transform's ``top_db`` dynamic-range
+    clamp thresholds against the WHOLE-signal batch max
+    (features/mel.py:229-231), which no causal stream can know. Streaming
+    therefore requires ``top_db=None`` (raises otherwise); offline
+    equivalence target is ``MFCC(..., top_db=None, center=False)``."""
+
+    def __init__(self, sr: float = 22050, n_mfcc: int = 20,
+                 norm: str = "ortho", ref: float = 1.0, amin: float = 1e-10,
+                 top_db: float | None = None, n_fft: int = 2048,
+                 hop_length: int = 512, n_mels: int = 128,
+                 fmin: float = 0.0, fmax: float | None = None,
+                 htk: bool = False, mel_norm=1, window: str = "hann",
+                 power: float = 2.0, verbose: bool = False,
+                 fuse: bool | None = None):
+        from .filters.mel import dct_matrix, mel_filterbank
+
+        if top_db is not None:
+            raise ValueError(
+                "StreamingMFCC requires top_db=None: the offline top_db "
+                "clamp thresholds against the whole-signal max, which a "
+                "causal stream cannot know")
+        if amin <= 0:
+            raise ValueError("amin must be strictly positive")
+        self.n_mfcc = n_mfcc
+        self.amin = float(amin)
+        self.ref = abs(float(ref))
+        basis = mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk,
+                               norm=mel_norm)
+        self._init_filterbank(sr, n_fft, hop_length, window, power, basis,
+                              verbose, fuse)
+        self._params["dct_basis"] = jnp.asarray(
+            dct_matrix(n_mels, n_mels, norm=norm))
+
+    def _post(self, params, mel):
+        from .core.apply import project
+
+        amin = jnp.asarray(self.amin, dtype=mel.dtype)
+        db = 10.0 * jnp.log10(jnp.maximum(mel, amin))
+        db = db - 10.0 * jnp.log10(
+            jnp.maximum(amin, jnp.asarray(self.ref, mel.dtype)))
+        return project(params["dct_basis"], db)[:, : self.n_mfcc, :]
+
+    def _out_bins(self, params) -> int:
+        return self.n_mfcc
+
+
+class StreamingGammatone(_StreamingFilterbank):
+    """Chunked Gammatonegram (see :class:`_StreamingFilterbank`). Defaults
+    mirror :class:`~nnaudio_tpu.features.gammatone.Gammatonegram`."""
+
+    def __init__(self, sr: float = 22050, n_fft: int = 2048,
+                 hop_length: int = 512, n_bins: int = 64,
+                 fmin: float = 0.0, fmax: float | None = None,
+                 window: str = "hann", power: float = 2.0,
+                 verbose: bool = False, fuse: bool | None = None):
+        from .filters.gammatone import gammatone_filterbank
+
+        basis = gammatone_filterbank(sr, n_fft, n_bins, fmin=fmin, fmax=fmax)
+        self._init_filterbank(sr, n_fft, hop_length, window, power, basis,
+                              verbose, fuse)
+
+
+class StreamingChroma(_StreamingFilterbank):
+    """Chunked ChromaSTFT. The librosa-convention per-frame norm (inf = max)
+    is frame-local, so it streams exactly (unlike MFCC's top_db)."""
+
+    def __init__(self, sr: float = 22050, n_fft: int = 2048,
+                 hop_length: int = 512, n_chroma: int = 12,
+                 tuning: float = 0.0, norm=jnp.inf, window: str = "hann",
+                 power: float = 2.0, verbose: bool = False,
+                 fuse: bool | None = None):
+        from .filters.chroma import chroma_filterbank
+
+        self.norm = norm
+        basis = chroma_filterbank(sr, n_fft, n_chroma=n_chroma, tuning=tuning)
+        self._init_filterbank(sr, n_fft, hop_length, window, power, basis,
+                              verbose, fuse)
+
+    def _post(self, params, chroma):
+        if self.norm is None:
+            return chroma
+        if self.norm == jnp.inf or self.norm == float("inf"):
+            scale = jnp.max(jnp.abs(chroma), axis=1, keepdims=True)
+        else:
+            scale = jnp.sum(jnp.abs(chroma) ** self.norm, axis=1,
+                            keepdims=True) ** (1.0 / self.norm)
+        tiny = jnp.finfo(chroma.dtype).tiny
+        return chroma / jnp.where(scale < tiny, 1.0, scale)
 
 
 class StreamingiSTFT:
@@ -347,9 +503,12 @@ class StreamingiSTFT:
 
     def __init__(self, n_fft: int = 2048, hop_length: int | None = None,
                  win_length: int | None = None, window: str = "hann",
-                 verbose: bool = False):
+                 verbose: bool = False, fuse: bool | None = None):
         from .features.stft import hermitian_weights
         from .features import iSTFT
+
+        self.fuse = fuse
+        self._cache_warned = False
 
         self._ist = iSTFT(n_fft=n_fft, hop_length=hop_length,
                           win_length=win_length, window=window,
@@ -390,14 +549,16 @@ class StreamingiSTFT:
         from .config import cache_salt
 
         # synthesis_ola additionally reads the synthesis-kernel switch
-        key = (b, t, cache_salt(("matmul_precision", "use_pallas",
-                                 "use_pallas_synthesis")))
+        key = (b, t, self.fuse, cache_salt(("matmul_precision", "use_pallas",
+                                            "use_pallas_synthesis")))
         fn = self._jit_cache.get(key)
         if fn is None:
+            _warn_cache_growth(self)
             fn = jax.jit(self._make_step(t))
             self._jit_cache[key] = fn
         tail, env_tail = state
-        new_tail, new_env, out = fn(tail, env_tail, X)
+        with framed_matmul.force_fuse(self.fuse):
+            new_tail, new_env, out = fn(tail, env_tail, X)
         return (new_tail, new_env), out
 
     def _make_step(self, t: int):

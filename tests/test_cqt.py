@@ -112,3 +112,22 @@ def test_cqt_trainable_grad():
     for k, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), k
         assert np.abs(np.asarray(g)).max() > 0, k
+
+
+def test_pyramid_empty_deepest_level():
+    """A very short input whose deepest pyramid octaves downsample to empty
+    (even zero-length) levels must still produce finite output: the empty
+    level rides _center_pad's reflect->constant fallback (advisor round 3
+    questioned whether core/resample.py's 'graceful degradation' claim held
+    end-to-end)."""
+    import warnings
+
+    x = np.random.RandomState(20).randn(1, 3).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        layer = features.CQT2010v2(sr=22050, fmin=32.7, n_bins=84,
+                                   bins_per_octave=12, hop_length=64,
+                                   verbose=False)
+        out = np.asarray(layer(x))
+    assert out.shape[2] >= 1
+    assert np.isfinite(out).all()

@@ -171,6 +171,104 @@ def test_streaming_istft_matches_offline():
                                atol=1e-4 * np.abs(x).max())
 
 
+def _run_stream(s, x, chunk):
+    state = s.init_state(x.shape[0])
+    outs = []
+    for pos in range(0, x.shape[1], chunk):
+        state, out = s.step(state, x[:, pos : pos + chunk])
+        if out.shape[2]:
+            outs.append(np.asarray(out))
+    return np.concatenate(outs, axis=2)
+
+
+def test_streaming_mfcc_matches_offline():
+    sr, n_fft, hop = 16000, 1024, 256
+    x = np.random.RandomState(7).randn(2, hop * 70).astype(np.float32)
+    s = streaming.StreamingMFCC(sr=sr, n_fft=n_fft, hop_length=hop,
+                                n_mfcc=13, n_mels=40)
+    got = _run_stream(s, x, hop * 16)
+    offline = features.MFCC(sr=sr, n_mfcc=13, top_db=None, n_fft=n_fft,
+                            hop_length=hop, n_mels=40, center=False,
+                            verbose=False)
+    want = np.asarray(offline(x))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-4 * np.abs(want).max())
+
+
+def test_streaming_mfcc_rejects_top_db():
+    with pytest.raises(ValueError, match="top_db"):
+        streaming.StreamingMFCC(top_db=80.0)
+
+
+def test_streaming_gammatone_matches_offline():
+    sr, n_fft, hop = 16000, 1024, 256
+    x = np.random.RandomState(8).randn(1, hop * 70).astype(np.float32)
+    s = streaming.StreamingGammatone(sr=sr, n_fft=n_fft, hop_length=hop,
+                                     n_bins=48, fmin=20)
+    got = _run_stream(s, x, hop * 16)
+    offline = features.Gammatonegram(sr=sr, n_fft=n_fft, hop_length=hop,
+                                     n_bins=48, fmin=20, center=False,
+                                     verbose=False)
+    want = np.asarray(offline(x))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max())
+
+
+def test_streaming_chroma_matches_offline():
+    sr, n_fft, hop = 22050, 2048, 512
+    x = np.random.RandomState(9).randn(1, hop * 50).astype(np.float32)
+    s = streaming.StreamingChroma(sr=sr, n_fft=n_fft, hop_length=hop)
+    got = _run_stream(s, x, hop * 10)
+    offline = features.ChromaSTFT(sr=sr, n_fft=n_fft, hop_length=hop,
+                                  center=False, verbose=False)
+    want = np.asarray(offline(x))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max())
+
+
+def test_streaming_fuse_override_traces_fused_path(monkeypatch):
+    """fuse=True must route a tiny chunk through the fused dispatch even
+    below the workload gate (interpret-safe on CPU only for the gate logic:
+    we assert the override flag is consulted, not the kernel itself)."""
+    from nnaudio_tpu.ops import framed_matmul as fm
+
+    monkeypatch.setattr(fm, "_MIN_FUSED_FRAMES", 10**9)
+    assert not fm._fuse_workload_ok(4096)
+    with fm.force_fuse(True):
+        assert fm._fuse_workload_ok(1)
+    with fm.force_fuse(False):
+        assert not fm._fuse_workload_ok(10**10)
+    assert fm._FORCE_FUSE is None  # restored
+
+    # a fuse-pinned stream still computes exact results (XLA fallback path
+    # exists for envelopes the kernels don't support, e.g. CPU interpret)
+    n_fft, hop = 512, 128
+    x = np.random.RandomState(10).randn(1, hop * 40).astype(np.float32)
+    s = streaming.StreamingSTFT(n_fft=n_fft, hop_length=hop, fuse=False)
+    got = _run_stream(s, x, hop * 8)
+    want = _offline(x, n_fft, hop, "Magnitude")
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+def test_streaming_cache_growth_warns():
+    n_fft, hop = 512, 128
+    s = streaming.StreamingSTFT(n_fft=n_fft, hop_length=hop)
+    state = s.init_state(1)
+    # prime fully first so `primed` stops changing, then vary chunk length
+    state, _ = s.step(state, np.zeros((1, n_fft), np.float32))
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        for k in range(1, 20):
+            state, _ = s.step(state, np.zeros((1, hop * k), np.float32))
+    msgs = [str(r.message) for r in rec if "distinct" in str(r.message)]
+    assert msgs, "expected a cache-growth warning after many chunk sizes"
+
+
 def test_streaming_mel_power1_matches_offline():
     """The non-fused (power != 2) StreamingMel branch."""
     sr, n_fft, hop, n_mels = 16000, 512, 128, 40

@@ -1,0 +1,152 @@
+"""On-chip streaming latency/throughput table (VERDICT r3 item 4a).
+
+Measures steady-state per-chunk serving numbers for every streaming class at
+realistic chunk sizes (160 ms / 500 ms / 1 s @ 16 kHz), fuse=None (workload
+gate, i.e. XLA at these sizes) vs fuse=True (Pallas kernels forced — the
+compile amortizes across a steady stream).
+
+Two numbers per row, because the tunneled chip inflates dispatch:
+  - lat_ms:   median blocked per-step wall latency (includes the host->device
+              dispatch roundtrip — the honest serving number on local hosts,
+              pessimistic through the tunnel),
+  - rtf:      real-time factor from a chained run (audio-seconds processed
+              per wall-second across K back-to-back steps, sync at the end —
+              the device-bound number).
+
+Usage: python tools/bench_streaming.py [--quick]
+Emits one JSON line per row plus a markdown table on stderr-free stdout.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def bench_stream(make, sr, hop, chunk_sec, batch=1, k=32, warm=6):
+    import jax
+
+    s = make()
+    chunk_len = max(hop, int(round(chunk_sec * sr / hop)) * hop)
+    rng = np.random.RandomState(0)
+    chunks = [
+        jax.device_put(rng.randn(batch, chunk_len).astype(np.float32))
+        for _ in range(8)
+    ]
+    state = s.init_state(batch)
+    # prime + compile every progress variant
+    for i in range(warm):
+        state, out = s.step(state, chunks[i % len(chunks)])
+    jax.block_until_ready(out)
+
+    # blocked per-step latency
+    lats = []
+    for i in range(k):
+        t0 = time.perf_counter()
+        state, out = s.step(state, chunks[i % len(chunks)])
+        jax.block_until_ready(out)
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lat_ms = statistics.median(lats)
+
+    # chained throughput (sync once)
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(k):
+        state, out = s.step(state, chunks[i % len(chunks)])
+        outs.append(out)
+    jax.block_until_ready(outs)
+    wall = time.perf_counter() - t0
+    audio_s = k * batch * chunk_len / sr
+    return dict(chunk_ms=1e3 * chunk_len / sr, lat_ms=round(lat_ms, 3),
+                rtf=round(audio_s / wall, 1), chunk_len=chunk_len)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    from nnaudio_tpu import streaming
+
+    sr = 16000
+    rows = []
+    classes = [
+        ("StreamingSTFT", lambda fuse: streaming.StreamingSTFT(
+            n_fft=512, hop_length=160, sr=sr, fuse=fuse), 160),
+        ("StreamingMel", lambda fuse: streaming.StreamingMel(
+            sr=sr, n_fft=512, hop_length=160, n_mels=80, fuse=fuse), 160),
+        ("StreamingMFCC", lambda fuse: streaming.StreamingMFCC(
+            sr=sr, n_fft=512, hop_length=160, n_mels=80, n_mfcc=13,
+            fuse=fuse), 160),
+        ("StreamingGammatone", lambda fuse: streaming.StreamingGammatone(
+            sr=sr, n_fft=512, hop_length=160, n_bins=64, fuse=fuse), 160),
+        ("StreamingChroma", lambda fuse: streaming.StreamingChroma(
+            sr=sr, n_fft=1024, hop_length=160, fuse=fuse), 160),
+        ("StreamingCQT", lambda fuse: streaming.StreamingCQT(
+            sr=sr, hop_length=160, fmin=32.7, n_bins=84, bins_per_octave=12,
+            verbose=False, fuse=fuse), 160),
+    ]
+    chunk_secs = [0.16, 1.0] if quick else [0.16, 0.5, 1.0]
+    fuse_opts = [None] if quick else [None, True]
+    for name, make, hop in classes:
+        for chunk_sec in chunk_secs:
+            for fuse in fuse_opts:
+                try:
+                    r = bench_stream(lambda: make(fuse), sr, hop, chunk_sec)
+                except Exception as e:  # keep the table going
+                    print(f"# {name} fuse={fuse} {chunk_sec}s FAILED: "
+                          f"{type(e).__name__}: {e}", flush=True)
+                    continue
+                row = dict(cls=name, fuse=fuse, **r)
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+
+    # streaming iSTFT: frame chunks
+    import jax
+
+    n_fft, hop = 512, 160
+    for chunk_sec in chunk_secs:
+        t = max(1, int(round(chunk_sec * sr / hop)))
+        for fuse in fuse_opts:
+            s = streaming.StreamingiSTFT(n_fft=n_fft, hop_length=hop,
+                                         fuse=fuse)
+            X = jax.device_put(np.random.RandomState(1)
+                               .randn(1, n_fft // 2 + 1, t, 2)
+                               .astype(np.float32))
+            state = s.init_state(1)
+            for _ in range(6):
+                state, out = s.step(state, X)
+            jax.block_until_ready(out)
+            lats = []
+            for _ in range(32):
+                t0 = time.perf_counter()
+                state, out = s.step(state, X)
+                jax.block_until_ready(out)
+                lats.append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            outs = []
+            for _ in range(32):
+                state, out = s.step(state, X)
+                outs.append(out)
+            jax.block_until_ready(outs)
+            wall = time.perf_counter() - t0
+            row = dict(cls="StreamingiSTFT", fuse=fuse,
+                       chunk_ms=1e3 * t * hop / sr,
+                       lat_ms=round(statistics.median(lats), 3),
+                       rtf=round(32 * t * hop / sr / wall, 1), chunk_len=t)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    # markdown table for RESULTS.md
+    print("\n| class | chunk (ms) | fuse | lat (ms) | RTF |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['cls']} | {r['chunk_ms']:.0f} | {r['fuse']} "
+              f"| {r['lat_ms']} | {r['rtf']} |")
+
+
+if __name__ == "__main__":
+    main()
