@@ -247,6 +247,75 @@ def tpu_metrics() -> dict[str, dict]:
         # mixed-precision training: bf16 multiplies in fwd+bwd contractions
         out["train_step_fast"] = time_train(jax.jit(make_train_loop()))
     del n_frames
+
+    # trainable-CQT train step (BASELINE config 5's "trainable CQT bases":
+    # until round 4 only grad-correctness was tested, never throughput)
+    qt = features.CQT1992v2(sr=SR, hop_length=HOP, n_bins=84,
+                            bins_per_octave=12, trainable=True, verbose=False)
+    qt_head = jnp.zeros((84, 8), jnp.float32) + 1e-3
+    qt_params0 = {**{k: jnp.asarray(v) for k, v in qt._params.items()},
+                  "head": qt_head}
+
+    def cqt_loss_fn(p, xx):
+        spec = qt._forward(p, xx, output_format="Magnitude",
+                           normalization_type="librosa")
+        pred = spec.mean(axis=-1) @ p["head"]
+        return jnp.mean((pred - y_true) ** 2)
+
+    def make_cqt_train_loop():
+        def train_loop(p, xx):
+            acc = 0.0
+            for _ in range(8):
+                l, g = jax.value_and_grad(cqt_loss_fn)(
+                    p, xx * (1 + acc * 1e-20))
+                p = jax.tree_util.tree_map(lambda a, b: a - 1e-3 * b, p, g)
+                acc = acc + l
+            return acc, p
+        return train_loop
+
+    def time_train_on(train_loop, params):
+        a, _ = train_loop(params, x)
+        float(a)
+        times = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            a, _ = train_loop(params, x)
+            float(a)
+            times.append(time.perf_counter() - t0)
+        return _thr(_stats(times, 8))
+
+    out["train_step_cqt"] = time_train_on(
+        jax.jit(make_cqt_train_loop()), qt_params0)
+    with fast_mode():
+        out["train_step_cqt_fast"] = time_train_on(
+            jax.jit(make_cqt_train_loop()), qt_params0)
+
+    # flagship Mel-frontend classifier train step (models/classifier.py):
+    # trainable STFT + mel bases + linear head, cross-entropy, SGD
+    from nnaudio_tpu.models.classifier import SpectrogramClassifier
+
+    clf = SpectrogramClassifier(n_classes=10, sr=SR, n_fft=N_FFT,
+                                hop_length=HOP, n_mels=128)
+    clf_params0 = dict(clf.init_params)
+    labels = jax.device_put(
+        np.random.RandomState(4).randint(0, 10, size=(BATCH,)))
+
+    def make_clf_train_loop():
+        def train_loop(p, xx):
+            acc = 0.0
+            for _ in range(8):
+                l, g = jax.value_and_grad(clf.loss_fn)(
+                    p, xx * (1 + acc * 1e-20), labels)
+                p = jax.tree_util.tree_map(lambda a, b: a - 1e-3 * b, p, g)
+                acc = acc + l
+            return acc, p
+        return train_loop
+
+    out["train_step_classifier"] = time_train_on(
+        jax.jit(make_clf_train_loop()), clf_params0)
+    with fast_mode():
+        out["train_step_classifier_fast"] = time_train_on(
+            jax.jit(make_clf_train_loop()), clf_params0)
     return out
 
 
@@ -371,8 +440,51 @@ def reference_metrics(ref_feat, torch) -> dict[str, float]:
         opt.step()
 
     attempt("train_step", build_train, run_train, iters=1, grad=True)
+
+    def build_cqt_train():
+        stt = ref_feat.CQT1992v2(sr=SR, hop_length=HOP, n_bins=84,
+                                 bins_per_octave=12, trainable=True,
+                                 verbose=False)
+        head = torch.nn.Linear(84, 8)
+        opt = torch.optim.SGD(
+            list(stt.parameters()) + list(head.parameters()), lr=1e-3)
+        y_true = torch.randn(b, 8)
+        return stt, head, opt, y_true
+
+    def run_cqt_train(state):
+        stt, head, opt, y_true = state
+        opt.zero_grad()
+        spec = stt(x)
+        loss = ((head(spec.mean(-1)) - y_true) ** 2).mean()
+        loss.backward()
+        opt.step()
+
+    attempt("train_step_cqt", build_cqt_train, run_cqt_train, iters=1,
+            grad=True)
+
+    def build_clf_train():
+        mel = ref_feat.MelSpectrogram(sr=SR, n_fft=N_FFT, hop_length=HOP,
+                                      n_mels=128, trainable_mel=True,
+                                      trainable_STFT=True, verbose=False)
+        head = torch.nn.Linear(128, 10)
+        opt = torch.optim.SGD(
+            list(mel.parameters()) + list(head.parameters()), lr=1e-3)
+        labels = torch.randint(0, 10, (b,))
+        return mel, head, opt, labels
+
+    def run_clf_train(state):
+        mel, head, opt, labels = state
+        opt.zero_grad()
+        feats = torch.log(torch.clamp(mel(x), min=0) + 1e-6).mean(-1)
+        loss = torch.nn.functional.cross_entropy(head(feats), labels)
+        loss.backward()
+        opt.step()
+
+    attempt("train_step_classifier", build_clf_train, run_clf_train, iters=1,
+            grad=True)
     # fast-mode rows compare against the same fp32 reference (it has none)
-    for key in ("mel", "cqt1992v2", "train_step", "vqt", "cqt2010v2"):
+    for key in ("mel", "cqt1992v2", "train_step", "vqt", "cqt2010v2",
+                "train_step_cqt", "train_step_classifier"):
         if key in out:
             out[key + "_fast"] = out[key]
     return out
@@ -393,6 +505,10 @@ NAMES = {
     "griffin_lim": "griffin_lim_throughput_32iters",
     "train_step": "trainable_stft_train_step_throughput",
     "train_step_fast": "trainable_stft_train_step_fast_bf16_throughput",
+    "train_step_cqt": "trainable_cqt1992v2_train_step_throughput",
+    "train_step_cqt_fast": "trainable_cqt1992v2_train_step_fast_bf16_throughput",
+    "train_step_classifier": "mel_classifier_train_step_throughput",
+    "train_step_classifier_fast": "mel_classifier_train_step_fast_bf16_throughput",
     "stft_fast": "stft_magnitude_fast_bf16_throughput_n2048_h512",
     "stft": "stft_magnitude_throughput_n2048_h512",  # headline, printed last
 }

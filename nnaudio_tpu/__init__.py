@@ -11,11 +11,13 @@ __version__ = "0.3.0"
 
 from . import config
 from .config import (fast_mode, set_matmul_precision, set_use_fused_pyramid,
-                     set_use_mxu_fft, set_use_pallas, set_use_pallas_synthesis)
+                     set_use_mxu_fft, set_use_pallas, set_use_pallas_synthesis,
+                     set_use_parallel_chain)
 
 __all__ = ["config", "fast_mode", "set_matmul_precision", "set_use_pallas",
            "set_use_pallas_synthesis", "set_use_fused_pyramid",
-           "set_use_mxu_fft", "features", "streaming"]
+           "set_use_mxu_fft", "set_use_parallel_chain", "features",
+           "streaming"]
 
 
 def __getattr__(name):

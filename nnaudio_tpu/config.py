@@ -41,6 +41,16 @@ class _Config:
     # None = auto (TPU only — CPU pocketfft is already fast). True/False
     # force it.
     use_mxu_fft: bool | None = None
+    # Parallel pyramid decimation chain (CQT2010/CQT2010v2/VQT): every
+    # octave level computed directly from the top-rate signal with one
+    # strided banded matmul over a composed cascade filter
+    # (core/resample.compose_cascade) instead of the serial per-octave
+    # lowpass+decimate chain. Exact up to fp32 reassociation (~1.4x the
+    # dense FLOPs, but 6 independent MXU-sized ops instead of 7 serial
+    # shrinking ones). None = auto: OFF until the on-chip A/B
+    # (tools/profile_r4_chain.py) shows it wins — same evidence standard
+    # as use_fused_pyramid. True/False force it.
+    use_parallel_chain: bool | None = None
 
 
 _config = _Config()
@@ -72,6 +82,17 @@ def set_use_mxu_fft(flag: bool | None) -> None:
     _config.use_mxu_fft = flag if flag is None else bool(flag)
 
 
+def set_use_parallel_chain(flag: bool | None) -> None:
+    _config.use_parallel_chain = flag if flag is None else bool(flag)
+
+
+def parallel_chain_enabled() -> bool:
+    flag = _config.use_parallel_chain
+    if flag is None:
+        return False  # pending the on-chip A/B (tools/profile_r4_chain.py)
+    return flag
+
+
 @contextlib.contextmanager
 def fast_mode():
     """Context: bf16-multiply matmuls for max MXU throughput."""
@@ -93,7 +114,7 @@ def dot_precision() -> jax.lax.Precision:
 
 #: every config field that can change compiled-graph behavior
 _SALT_FIELDS = ("matmul_precision", "use_pallas", "use_pallas_synthesis",
-                "use_fused_pyramid", "use_mxu_fft")
+                "use_fused_pyramid", "use_mxu_fft", "use_parallel_chain")
 
 
 def cache_salt(fields: tuple = _SALT_FIELDS) -> tuple:

@@ -39,11 +39,37 @@ def _banded_matrix(fir: jax.Array, n: int, r: int) -> jax.Array:
     return jnp.where(jnp.asarray(valid), fir[gather], 0.0)
 
 
-def downsample_by_n(x: jax.Array, fir: jax.Array, n: int) -> jax.Array:
+def compose_cascade(fir: np.ndarray, k: int) -> np.ndarray:
+    """Equivalent single-stage filter (fp64) for ``k`` serial (fir, ↓2)
+    stages: ``H_k = h ∗ ↑2h ∗ ↑4h ∗ … ∗ ↑2^{k-1}h``.
+
+    The CQT2010/VQT octave pyramid applies the same lowpass+decimate stage
+    serially per octave; composing lets every level be computed IN PARALLEL
+    straight from the top-rate signal with one strided banded matmul each
+    (``downsample_by_n(x, H_k, 2**k, pad=p*(2**k - 1))``), which is exact:
+    out[m] = Σ_j H_k[j]·x[2^k·m + j − p(2^k−1)] reproduces the nested
+    stages' arithmetic (including the per-stage floor truncation —
+    floor(floor(L/2)/2)… = floor(L/2^k)) up to fp32 reassociation; the
+    composition itself is done here in fp64."""
+    h = np.asarray(fir, np.float64)
+    out = h
+    for i in range(1, k):
+        up = np.zeros(((h.shape[-1] - 1) * 2**i + 1,), np.float64)
+        up[:: 2**i] = h
+        out = np.convolve(out, up)
+    return out
+
+
+def downsample_by_n(
+    x: jax.Array, fir: jax.Array, n: int, pad: int | None = None
+) -> jax.Array:
     """(B, L) -> (B, floor((L + 2p - K)/n) + 1), p = (K-1)//2 — identical
-    arithmetic to utils.py:98-100."""
+    arithmetic to utils.py:98-100. ``pad`` overrides p for composed-cascade
+    filters (see :func:`compose_cascade`), whose group delay is set by the
+    BASE stage's pad, not their own length."""
     taps = fir.shape[-1]
-    pad = (taps - 1) // 2
+    if pad is None:
+        pad = (taps - 1) // 2
     b, length = x.shape
     out_len = (length + 2 * pad - taps) // n + 1
     if out_len <= 0:

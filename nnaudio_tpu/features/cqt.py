@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..core.apply import complex_bank_mul, phase_unit_stack
 from ..core.frame import broadcast_dim, pad_signal
-from ..core.resample import downsample_by_n
+from ..config import parallel_chain_enabled
+from ..core.resample import compose_cascade, downsample_by_n
 from ..filters.cqt import create_cqt_kernels, create_lowpass_filter, early_downsample_params
 from ..filters.fourier import create_fourier_basis
 from ..ops.dispatch import framed_basis_pair, framed_complex, framed_magnitude
@@ -452,7 +453,8 @@ class _PyramidCQT(SpectralTransform):
     (reference cqt.py:277-436 / 899-1069): octave count, top-octave band
     placement, early-downsample calculus, lowpass FIR, per-bin lengths."""
 
-    _salt_fields = ("matmul_precision", "use_pallas", "use_fused_pyramid")
+    _salt_fields = ("matmul_precision", "use_pallas", "use_fused_pyramid",
+                    "use_parallel_chain")
 
     def _init_pyramid(
         self,
@@ -467,15 +469,23 @@ class _PyramidCQT(SpectralTransform):
         verbose,
     ):
         Q = float(filter_scale) / (2 ** (1 / bins_per_octave) - 1)
-        self._register(
-            "lowpass_filter",
-            create_lowpass_filter(
-                band_center=0.5, kernel_length=256, transition_bandwidth=0.001
-            ),
+        lowpass = create_lowpass_filter(
+            band_center=0.5, kernel_length=256, transition_bandwidth=0.001
         )
+        self._register("lowpass_filter", lowpass)
 
         n_filters = min(bins_per_octave, n_bins)
         self.n_octaves = int(np.ceil(float(n_bins) / bins_per_octave))
+
+        # composed cascade filters for the parallel chain (fp64 at init;
+        # cascade_1 == lowpass_filter itself, so start at 2). ~2*taps*2^k
+        # floats total — trivial next to the kernel banks.
+        self._lowpass_pad = (lowpass.shape[-1] - 1) // 2
+        for k in range(2, self.n_octaves):
+            self._register(
+                f"lowpass_cascade_{k}",
+                compose_cascade(lowpass, k).astype(np.float32),
+            )
         self._verbose_print(verbose, f"num_octave = {self.n_octaves}")
 
         self.fmin_t = fmin * 2 ** (self.n_octaves - 1)
@@ -524,16 +534,76 @@ class _PyramidCQT(SpectralTransform):
 
     def _pyramid_chain(self, params, x):
         """Downsampled signal + hop per octave, top octave first — the chain
-        is shared by the fused whole-pyramid path and the per-octave loop."""
+        is shared by the fused whole-pyramid path and the per-octave loop.
+
+        Two implementations of the same arithmetic (config
+        ``use_parallel_chain``): the reference's serial per-octave
+        lowpass+decimate (cqt.py:1097-1103), or every level computed
+        directly from ``x`` with a composed cascade filter
+        (core/resample.compose_cascade) — independent MXU-sized matmuls
+        instead of 7 serial shrinking ops; exact up to fp32 reassociation."""
         hop = self.hop_length
-        levels, hops = [x], [hop]
-        x_down = x
+        hops = [hop]
         for _ in range(self.n_octaves - 1):
             hop //= 2
+            hops.append(hop)
+        if parallel_chain_enabled() and self.n_octaves > 1:
+            return self._parallel_levels(params, x), hops
+        levels, x_down = [x], x
+        for _ in range(self.n_octaves - 1):
             x_down = downsample_by_n(x_down, params["lowpass_filter"], 2)
             levels.append(x_down)
-            hops.append(hop)
         return levels, hops
+
+    # The serial chain zero-pads each stage by p=127 AND truncates each
+    # stage's output to floor(L/2) BEFORE the next stage reads it — so the
+    # first/last <=127 samples of every level are functions of injected
+    # zeros, not of the composed linear operator on x. The composed matmuls
+    # are exact on the interior; the two edges are re-derived serially from
+    # the previous CORRECTED level (tiny ops: _EDGE_FIX outputs each).
+    _EDGE_FIX = 192  # > the 127-sample fixed point of the edge recursion
+
+    def _parallel_levels(self, params, x):
+        """All pyramid levels computed directly from the top-rate signal:
+        one big independent banded matmul per level (composed cascade
+        filter, core/resample.compose_cascade) + serial head/tail edge
+        corrections. Bit-compatible with the serial chain up to fp32
+        reassociation (tested: test_parallel_chain_matches_serial_*)."""
+        fir = params["lowpass_filter"]
+        taps = fir.shape[-1]
+        p = self._lowpass_pad
+        e0 = self._EDGE_FIX
+        comp = [x]
+        for k in range(1, self.n_octaves):
+            firk = fir if k == 1 else params[f"lowpass_cascade_{k}"]
+            comp.append(downsample_by_n(x, firk, 2**k, pad=p * (2**k - 1)))
+        levels = [x]
+        for k in range(1, self.n_octaves):
+            prev, lc = levels[k - 1], comp[k].shape[-1]
+            if lc == 0 or 2 * min(e0, lc) >= lc:
+                # level (nearly) inside the fixup window: plain serial stage
+                levels.append(downsample_by_n(prev, fir, 2))
+                continue
+            e = min(e0, lc)
+            # head: the standard stage conv only needs prev's prefix
+            head = downsample_by_n(prev[:, : 2 * (e - 1) + p + 2], fir, 2)
+            head = head[:, :e]
+            # tail: valid conv over prev's suffix with the serial chain's
+            # zero extension beyond len(prev) reproduced explicitly
+            start = lc - e
+            a = 2 * start - p
+            need = 2 * (e - 1) + taps
+            w = prev[:, max(a, 0):]
+            lpad = max(0, -a)
+            rpad = need - lpad - w.shape[-1]
+            w = jnp.pad(w, ((0, 0), (lpad, max(rpad, 0))))
+            if rpad < 0:
+                w = w[:, :need]
+            tail = downsample_by_n(w, fir, 2, pad=0)
+            levels.append(
+                jnp.concatenate([head, comp[k][:, e:start], tail], axis=-1)
+            )
+        return levels
 
     def _fused_pyramid(self, levels, hops, bank_real, bank_imag):
         """One batched contraction for every octave (ops/pyramid.py): the

@@ -164,17 +164,14 @@ class VQT(_PyramidCQT):
             x = downsample_by_n(
                 x, params["early_downsample_filter"], int(self.downsample_factor)
             )
-        hop = self.hop_length
-
-        levels, hops = [], []
-        x_down = x
-        for i in range(self.n_octaves):
-            if i > 0:
-                x_down = downsample_by_n(x_down, params["lowpass_filter"], 2)
-                hop //= 2
-            pad = self._octave_widths[i] // 2
-            levels.append(_center_pad(x_down, pad, self.pad_mode))
-            hops.append(hop)
+        # serial-or-parallel decimation chain shared with the CQT2010
+        # family (use_parallel_chain), then per-octave center padding at
+        # each octave's own kernel width
+        raw_levels, hops = self._pyramid_chain(params, x)
+        levels = [
+            _center_pad(lv, self._octave_widths[i] // 2, self.pad_mode)
+            for i, lv in enumerate(raw_levels)
+        ]
 
         fused = None
         if pyramid_enabled():

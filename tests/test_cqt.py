@@ -131,3 +131,63 @@ def test_pyramid_empty_deepest_level():
         out = np.asarray(layer(x))
     assert out.shape[2] >= 1
     assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("length", [22050 * 2, 22050 * 2 + 977])
+def test_parallel_chain_matches_serial_cqt2010v2(length):
+    """use_parallel_chain computes every pyramid level straight from the
+    top-rate signal via composed cascade filters (core/resample.py); it must
+    reproduce the serial per-octave chain's output exactly up to fp32
+    reassociation — including the per-stage floor truncation that odd
+    lengths exercise."""
+    from nnaudio_tpu import set_use_parallel_chain
+
+    x = np.random.RandomState(30).randn(2, length).astype(np.float32)
+    layer = features.CQT2010v2(sr=22050, fmin=32.7, n_bins=84,
+                               bins_per_octave=12, hop_length=512,
+                               verbose=False)
+    want = np.asarray(layer(x))
+    try:
+        set_use_parallel_chain(True)
+        got = np.asarray(layer(x))
+    finally:
+        set_use_parallel_chain(None)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max(),
+                               rtol=1e-4)
+
+
+def test_parallel_chain_matches_serial_early_downsample():
+    """Early-downsample-active config (the chain then starts from the
+    pre-decimated signal)."""
+    from nnaudio_tpu import set_use_parallel_chain
+
+    x = np.random.RandomState(31).randn(1, 44100).astype(np.float32)
+    layer = features.CQT2010v2(sr=44100, fmin=220, n_bins=48,
+                               bins_per_octave=12, hop_length=512,
+                               earlydownsample=True, verbose=False)
+    want = np.asarray(layer(x))
+    try:
+        set_use_parallel_chain(True)
+        got = np.asarray(layer(x))
+    finally:
+        set_use_parallel_chain(None)
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max(),
+                               rtol=1e-4)
+
+
+def test_parallel_chain_matches_serial_cqt2010():
+    from nnaudio_tpu import set_use_parallel_chain
+
+    x = np.random.RandomState(32).randn(1, 22050 * 2 + 123).astype(np.float32)
+    layer = features.CQT2010(sr=22050, fmin=32.7, n_bins=84,
+                             bins_per_octave=12, hop_length=512,
+                             verbose=False)
+    want = np.asarray(layer(x))
+    try:
+        set_use_parallel_chain(True)
+        got = np.asarray(layer(x))
+    finally:
+        set_use_parallel_chain(None)
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max(),
+                               rtol=1e-4)

@@ -46,3 +46,22 @@ def test_vqt_output_formats():
     assert ph.shape == cplx.shape
     assert np.allclose(np.sqrt((cplx ** 2).sum(-1)), mag, rtol=1e-5, atol=1e-6)
     assert np.allclose((ph ** 2).sum(-1), 1.0, atol=1e-4)
+
+
+def test_parallel_chain_matches_serial_vqt():
+    """VQT rides the shared _pyramid_chain: the parallel composed-cascade
+    chain must match the serial chain for gamma > 0 (per-octave banks)."""
+    from nnaudio_tpu import set_use_parallel_chain
+
+    x = np.random.RandomState(33).randn(1, 22050 * 2 + 321).astype(np.float32)
+    layer = features.VQT(sr=22050, fmin=32.7, n_bins=84, bins_per_octave=12,
+                         hop_length=512, gamma=6.0, verbose=False)
+    want = np.asarray(layer(x))
+    try:
+        set_use_parallel_chain(True)
+        got = np.asarray(layer(x))
+    finally:
+        set_use_parallel_chain(None)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max(),
+                               rtol=1e-4)

@@ -77,6 +77,8 @@ def main():
              timeout=3600)
     run("profile_r3b (pyramid + MXU-fft A/B)",
         [os.path.join(TOOLS, "profile_r3b.py")], timeout=3600)
+    run("profile_r4_chain (parallel vs serial pyramid chain A/B)",
+        [os.path.join(TOOLS, "profile_r4_chain.py")], timeout=3600)
     run("bench_streaming (serving latency table)",
         [os.path.join(TOOLS, "bench_streaming.py")], timeout=3600)
     run("bench smoke", [os.path.join(REPO, "bench.py")], timeout=3600)
