@@ -703,17 +703,19 @@ def _get_plan(x, wcos, hop, highest, n_out=1, n_mels=0):
                  n_out=n_out, n_mels=n_mels)
 
 
-def gl_step_plan(b, length, f, n_fft, hop):
+def gl_step_plan(b, length, f, n_fft, hop, highest: bool = False):
     """Plan + padded dims for the fused Griffin-Lim step, or None.
 
     ``length`` is the (constant across iterations) analysis-input signal
     length. The GL loop runs entirely on ``(B, f_padded, t_padded)`` carries
     — padding lives OUTSIDE the loop (zero rows/cols carry exact zeros
-    through the fixed point: padded S = 0 forces padded c = 0)."""
+    through the fixed point: padded S = 0 forces padded c = 0).
+    ``highest``: fp32 carries + HIGHEST dots (iter_precision='highest' GL)
+    via the same chunked-K plan the analysis kernels use."""
     if not _fuse_workload_ok(b * ((length - n_fft) // hop + 1)):
         return None
     t_total = (length - n_fft) // hop + 1
-    plan = _plan(b, n_fft, f, t_total, hop, highest=False, n_out=3)
+    plan = _plan(b, n_fft, f, t_total, hop, highest=highest, n_out=3)
     if plan is None:
         return None
     n_t_tiles = -(-t_total // plan["tile_t"])
@@ -725,23 +727,24 @@ def gl_step_plan(b, length, f, n_fft, hop):
 @functools.partial(
     jax.jit,
     static_argnames=("hop", "w", "q", "n_chunks", "tile_t", "tile_f", "bb",
-                     "slab_rows", "t_padded", "f_padded", "mom"),
+                     "slab_rows", "t_padded", "f_padded", "mom", "highest"),
 )
 def _framed_gl_step(x, wcos_t, wsin_t, S, p_re, p_im, hop, w, q, n_chunks,
-                    tile_t, tile_f, bb, slab_rows, t_padded, f_padded, mom):
+                    tile_t, tile_f, bb, slab_rows, t_padded, f_padded, mom,
+                    highest=False):
     """One fused GL step over PRE-PADDED carries: ``S``/``p_re``/``p_im``
     are (B, f_padded, t_padded) and the outputs stay padded — no per-
-    iteration pad/slice traffic inside the loop."""
+    iteration pad/slice traffic inside the loop. ``highest``: fp32 carries
+    + chunked-K HIGHEST dots (iter_precision='highest')."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     plan = dict(w=w, q=q, n_chunks=n_chunks, tile_t=tile_t, tile_f=tile_f,
                 bb=bb, slab_rows=slab_rows)
-    # bf16 kernel mode only (GL iterates at DEFAULT precision)
     x2, wc, ws, t_total, n_t_tiles, f_padded2 = _prep(
-        x, wcos_t, wsin_t, hop, plan, highest=False)
+        x, wcos_t, wsin_t, hop, plan, highest=highest)
     b = x2.shape[0]
-    carry = jnp.bfloat16
+    carry = jnp.float32 if highest else jnp.bfloat16
 
     basis_spec = pl.BlockSpec((n_chunks * w, tile_f), lambda i, j, k: (0, k),
                               memory_space=pltpu.VMEM)
@@ -753,9 +756,10 @@ def _framed_gl_step(x, wcos_t, wsin_t, S, p_re, p_im, hop, w, q, n_chunks,
     def out_shape(dt):
         return jax.ShapeDtypeStruct((b, f_padded, t_padded), dt)
 
-    kern = functools.partial(_gl_step_kernel, w=w, q=q, n_chunks=n_chunks,
-                             tile_t=tile_t, bb=bb,
-                             prec=jax.lax.Precision.DEFAULT, mom=mom)
+    kern = functools.partial(
+        _gl_step_kernel, w=w, q=q, n_chunks=n_chunks, tile_t=tile_t, bb=bb,
+        prec=(jax.lax.Precision.HIGHEST if highest
+              else jax.lax.Precision.DEFAULT), mom=mom)
     f = wcos_t.shape[1]
     return pl.pallas_call(
         kern,
@@ -773,7 +777,7 @@ def _framed_gl_step(x, wcos_t, wsin_t, S, p_re, p_im, hop, w, q, n_chunks,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * t_total * f * (n_chunks * w),
             bytes_accessed=(x2.size + 2 * n_chunks * w * f_padded * (b // bb)
-                            + 7 * b * t_total * f) * 2,
+                            + 7 * b * t_total * f) * (4 if highest else 2),
             transcendentals=b * t_total * f,
         ),
         interpret=_INTERPRET,

@@ -655,6 +655,45 @@ def test_gl_fused_loop_is_same_fixed_point_map(center):
     assert err_tail < 3e-2, err_tail
 
 
+def test_gl_fused_loop_highest_matches_xla_path():
+    """The fp32 variant of the fused GL step (iter_precision='highest':
+    fp32 carries + chunked-K HIGHEST dots — round-4 VERDICT item 6) must be
+    the same fixed-point map as the XLA fp32 loop to fp32-rounding
+    tightness, far tighter than the bf16 variant's 3e-2."""
+    from nnaudio_tpu import features
+
+    sr, n_fft, hop = 16000, 512, 128
+    tt = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 440 * tt).astype(np.float32)
+    stft = features.STFT(n_fft=n_fft, hop_length=hop, center=True,
+                         output_format="Magnitude", verbose=False)
+    S = stft(x[None])
+    gl = features.Griffin_Lim(n_fft=n_fft, hop_length=hop, n_iter=2,
+                              center=True, iter_precision="highest")
+    p = {k: jnp.asarray(v) for k, v in gl._params.items()}
+    key = jax.random.PRNGKey(9)
+    rec_xla = np.asarray(jax.jit(gl._forward)(p, jnp.asarray(S), key))[0]
+
+    b, f, t = S.shape
+    plan = framed_matmul.gl_step_plan(b, n_fft + hop * (t - 1), f, n_fft,
+                                      hop, highest=True)
+    assert plan is not None
+    rand_phase = jax.random.normal(key, (b, f, t))
+    mom = gl.momentum / (1 + gl.momentum)
+    framed_matmul._INTERPRET = True
+    try:
+        rec_fused = np.asarray(jax.jit(
+            lambda pp, SS, rp: gl._forward_fused(pp, SS, rp, mom, plan)
+        )(p, jnp.asarray(S), rand_phase))[0]
+    finally:
+        framed_matmul._INTERPRET = False
+
+    assert rec_fused.shape == rec_xla.shape
+    scale = np.abs(rec_xla).max()
+    err = np.abs(rec_fused - rec_xla).max() / scale
+    assert err < 5e-4, err
+
+
 def test_synthesis_auto_fuse_policy():
     """The measured round-3 dispatch policy: fast always fuses; fp32 modes
     fuse exactly where XLA's scatter-OLA collapses (q > 1 or > 9 chunks)."""

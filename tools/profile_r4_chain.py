@@ -119,12 +119,65 @@ def chain_ab():
                 set_use_fused_pyramid(None)
 
 
+def gl_highest_ab():
+    """fp32 fused GL step (iter_precision='highest', new in round 4) vs the
+    XLA fp32 chain. The bf16 variant measured 3,225 vs 2,756 a-s/s (1.17x)
+    in round 3; this decides whether the fp32 variant earns its keep or gets
+    the measured-parity retirement note."""
+    from nnaudio_tpu import features
+    from nnaudio_tpu.ops import framed_matmul
+    from nnaudio_tpu.features import griffin_lim as glmod
+    import jax
+
+    n_fft, hop, n_iter = 2048, 512, 32
+    bsz = 8
+    x = np.random.RandomState(0).randn(bsz, LENGTH).astype(np.float32)
+    st = features.STFT(n_fft=n_fft, hop_length=hop,
+                       output_format="Magnitude", verbose=False)
+    S = jax.device_put(np.asarray(st(x)))
+    key = jax.random.PRNGKey(0)
+    audio_s = bsz * 10.0
+
+    def timed(gl, use_fused):
+        p = {k: jnp.asarray(v) for k, v in gl._params.items()}
+        orig_plan = framed_matmul.gl_step_plan
+        if not use_fused:
+            framed_matmul.gl_step_plan = lambda *a, **k: None
+        try:
+            # fresh lambda per variant: jit's executable cache keys on
+            # function equality (bound methods of the same object compare
+            # equal) and would silently reuse the first-compiled graph
+            fn = jax.jit(lambda pp, SS, kk: gl._forward(pp, SS, kk))
+            float(jnp.sum(fn(p, S, key)))  # compile (trace under the patch)
+        finally:
+            framed_matmul.gl_step_plan = orig_plan
+
+        def run():
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(p, S, key)))
+            return time.perf_counter() - t0
+
+        return run
+
+    global AUDIO_S
+    prev_audio = AUDIO_S
+    AUDIO_S = audio_s
+    try:
+        for iprec in ("highest", "default"):
+            gl = features.Griffin_Lim(n_fft=n_fft, hop_length=hop,
+                                      n_iter=n_iter, iter_precision=iprec)
+            ab(f"GL {iprec:8s} fused(A) vs xla-chain(B)",
+               timed(gl, True), timed(gl, False), repeats=4,
+               decide=f"gl_fused_{iprec}")
+    finally:
+        AUDIO_S = prev_audio
+
+
 def recommend():
     for policy, wins in _WINS.items():
         n = sum(wins)
-        verdict = ("auto should be ON (A: parallel chain)"
-                   if n == len(wins) else
-                   "auto should stay OFF (B: serial chain)" if n == 0 else
+        verdict = ("auto should take the A path" if n == len(wins) else
+                   "auto should take the B path" if n == 0 else
                    f"mixed ({n}/{len(wins)} A wins) — set auto per config")
         print(f"RECOMMENDATION [{policy}]: A wins {n}/{len(wins)} -> "
               f"{verdict}")
@@ -133,6 +186,7 @@ def recommend():
 def main():
     print(f"probe: {probe():.1f} TFLOP/s bf16 (calm ~33 at n=4096)")
     chain_ab()
+    gl_highest_ab()
     recommend()
 
 
