@@ -213,7 +213,7 @@ def tpu_metrics() -> dict[str, dict]:
         pred = pooled @ p["head"]
         return jnp.mean((pred - y_true) ** 2)
 
-    def make_train_loop():
+    def make_train_loop(loss):
         # a FRESH function object per precision mode: jax.jit's global
         # executable cache keys on function identity + avals and knows
         # nothing about this package's config — jitting the SAME function
@@ -225,27 +225,27 @@ def tpu_metrics() -> dict[str, dict]:
             # (4 steps left the metric roundtrip-floored)
             acc = 0.0
             for _ in range(8):
-                l, g = jax.value_and_grad(loss_fn)(p, xx * (1 + acc * 1e-20))
+                l, g = jax.value_and_grad(loss)(p, xx * (1 + acc * 1e-20))
                 p = jax.tree_util.tree_map(lambda a, b: a - 1e-3 * b, p, g)
                 acc = acc + l
             return acc, p
-        return train_loop
+        return jax.jit(train_loop)
 
-    def time_train(train_loop):
-        a, _ = train_loop(params0, x)
+    def time_train(train_loop, params):
+        a, _ = train_loop(params, x)
         float(a)
         times = []
         for _ in range(6):
             t0 = time.perf_counter()
-            a, _ = train_loop(params0, x)
+            a, _ = train_loop(params, x)
             float(a)
             times.append(time.perf_counter() - t0)
         return _thr(_stats(times, 8))
 
-    out["train_step"] = time_train(jax.jit(make_train_loop()))
+    out["train_step"] = time_train(make_train_loop(loss_fn), params0)
     with fast_mode():
         # mixed-precision training: bf16 multiplies in fwd+bwd contractions
-        out["train_step_fast"] = time_train(jax.jit(make_train_loop()))
+        out["train_step_fast"] = time_train(make_train_loop(loss_fn), params0)
     del n_frames
 
     # trainable-CQT train step (BASELINE config 5's "trainable CQT bases":
@@ -262,33 +262,11 @@ def tpu_metrics() -> dict[str, dict]:
         pred = spec.mean(axis=-1) @ p["head"]
         return jnp.mean((pred - y_true) ** 2)
 
-    def make_cqt_train_loop():
-        def train_loop(p, xx):
-            acc = 0.0
-            for _ in range(8):
-                l, g = jax.value_and_grad(cqt_loss_fn)(
-                    p, xx * (1 + acc * 1e-20))
-                p = jax.tree_util.tree_map(lambda a, b: a - 1e-3 * b, p, g)
-                acc = acc + l
-            return acc, p
-        return train_loop
-
-    def time_train_on(train_loop, params):
-        a, _ = train_loop(params, x)
-        float(a)
-        times = []
-        for _ in range(6):
-            t0 = time.perf_counter()
-            a, _ = train_loop(params, x)
-            float(a)
-            times.append(time.perf_counter() - t0)
-        return _thr(_stats(times, 8))
-
-    out["train_step_cqt"] = time_train_on(
-        jax.jit(make_cqt_train_loop()), qt_params0)
+    out["train_step_cqt"] = time_train(make_train_loop(cqt_loss_fn),
+                                       qt_params0)
     with fast_mode():
-        out["train_step_cqt_fast"] = time_train_on(
-            jax.jit(make_cqt_train_loop()), qt_params0)
+        out["train_step_cqt_fast"] = time_train(make_train_loop(cqt_loss_fn),
+                                                qt_params0)
 
     # flagship Mel-frontend classifier train step (models/classifier.py):
     # trainable STFT + mel bases + linear head, cross-entropy, SGD
@@ -300,22 +278,14 @@ def tpu_metrics() -> dict[str, dict]:
     labels = jax.device_put(
         np.random.RandomState(4).randint(0, 10, size=(BATCH,)))
 
-    def make_clf_train_loop():
-        def train_loop(p, xx):
-            acc = 0.0
-            for _ in range(8):
-                l, g = jax.value_and_grad(clf.loss_fn)(
-                    p, xx * (1 + acc * 1e-20), labels)
-                p = jax.tree_util.tree_map(lambda a, b: a - 1e-3 * b, p, g)
-                acc = acc + l
-            return acc, p
-        return train_loop
+    def clf_loss_fn(p, xx):
+        return clf.loss_fn(p, xx, labels)
 
-    out["train_step_classifier"] = time_train_on(
-        jax.jit(make_clf_train_loop()), clf_params0)
+    out["train_step_classifier"] = time_train(make_train_loop(clf_loss_fn),
+                                              clf_params0)
     with fast_mode():
-        out["train_step_classifier_fast"] = time_train_on(
-            jax.jit(make_clf_train_loop()), clf_params0)
+        out["train_step_classifier_fast"] = time_train(
+            make_train_loop(clf_loss_fn), clf_params0)
     return out
 
 

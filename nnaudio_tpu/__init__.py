@@ -7,7 +7,7 @@ trainable bases under ``jax.grad``, fused Pallas hot paths, and multi-chip
 scale-out via ``jax.sharding`` (see ``nnaudio_tpu.parallel``).
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from . import config
 from .config import (fast_mode, set_matmul_precision, set_use_fused_pyramid,

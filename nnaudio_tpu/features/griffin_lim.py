@@ -244,9 +244,15 @@ class Griffin_Lim(SpectralTransform):
         # carries deliver ~2e-3, so tf32 keeps the XLA loop (same contract as
         # the analysis/synthesis kernels' tf32 gates in ops/dispatch.py).
         # iter_precision='highest' uses the fp32 variant of the fused step
-        # (chunked-K HIGHEST dots, fp32 carries — round-4 VERDICT item 6).
+        # (chunked-K HIGHEST dots, fp32 carries — round-4 VERDICT item 6),
+        # but ONLY under an ambient 'highest' setting: iter_precision never
+        # *raises* precision above the ambient config (class contract), so
+        # ambient-'default' + iter-'highest' keeps the XLA loop, which
+        # traces at the ambient precision with fp32 carries as before.
         if (on_tpu() and cfg.use_pallas
-                and cfg.matmul_precision != "tensorfloat32"):
+                and cfg.matmul_precision != "tensorfloat32"
+                and (self.iter_precision == "default"
+                     or cfg.matmul_precision == "highest")):
             sig_len = self.n_fft + self.hop_length * (t - 1)
             plan = gl_step_plan(b, sig_len, f, self.n_fft, self.hop_length,
                                 highest=self.iter_precision == "highest")

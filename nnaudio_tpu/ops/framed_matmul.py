@@ -43,6 +43,7 @@ path (ops/dispatch.py).
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import functools
 import math
 
@@ -117,10 +118,11 @@ def _plan(b, n_fft, f, t_total, hop, highest, n_out=1, n_mels=0):
                 # multi-tile churn, bf16 (no emulation stack) — the extra
                 # ~1.5MB headroom is safe and keeps the bank fused
                 budget = int(13.5 * 1024 * 1024)
-            if highest and n_out == 2:
-                # the second output adds ~1MB of store/transpose stack the
-                # bill can't see (measured 16.2MB scoped vs 10.4MB billed)
-                budget -= 1024 * 1024
+            if highest and n_out >= 2:
+                # each extra output adds ~1MB of store/transpose stack the
+                # bill can't see (measured 16.2MB scoped vs 10.4MB billed
+                # for the pair kernel)
+                budget -= 1024 * 1024 * (n_out - 1)
             if slab + frame + bases + outs + extra <= budget:
                 return dict(w=w, q=q, n_chunks=n_chunks, tile_t=tile_t,
                             tile_f=tile_f, bb=bb, slab_rows=slab_rows)
@@ -658,8 +660,14 @@ _MIN_FUSED_FRAMES = 1024
 
 # trace-time override of the workload gate (see force_fuse): None = gate
 # decides; True = always fuse (steady-state streaming amortizes the Mosaic
-# compile across thousands of identical steps); False = never fuse.
-_FORCE_FUSE: bool | None = None
+# compile across thousands of identical steps); False = never fuse. A
+# ContextVar, NOT a module global: concurrent streams (threads serving
+# different fuse settings) must not race each other's traces — a wrong
+# value seen during another stream's first trace would compile the wrong
+# path into that stream's jit cache forever.
+_FORCE_FUSE: contextvars.ContextVar[bool | None] = contextvars.ContextVar(
+    "nnaudio_tpu_force_fuse", default=None
+)
 
 
 @contextlib.contextmanager
@@ -670,18 +678,17 @@ def force_fuse(value: bool | None):
     Mosaic path; a steady-state stream re-runs one compiled step thousands
     of times, so ``nnaudio_tpu.streaming`` traces its step under
     ``force_fuse(True)`` when asked (``fuse=True``)."""
-    global _FORCE_FUSE
-    prev = _FORCE_FUSE
-    _FORCE_FUSE = value
+    token = _FORCE_FUSE.set(value)
     try:
         yield
     finally:
-        _FORCE_FUSE = prev
+        _FORCE_FUSE.reset(token)
 
 
 def _fuse_workload_ok(total_frames: int) -> bool:
-    if _FORCE_FUSE is not None:
-        return _FORCE_FUSE
+    override = _FORCE_FUSE.get()
+    if override is not None:
+        return override
     return total_frames >= _MIN_FUSED_FRAMES
 
 # K-chunked giant-bank kernel: correct (1e-7 vs XLA on chip) but measured at
@@ -715,7 +722,12 @@ def gl_step_plan(b, length, f, n_fft, hop, highest: bool = False):
     if not _fuse_workload_ok(b * ((length - n_fft) // hop + 1)):
         return None
     t_total = (length - n_fft) // hop + 1
-    plan = _plan(b, n_fft, f, t_total, hop, highest=highest, n_out=3)
+    # VMEM bill: the GL kernel holds 7 (bb, tile_f, tile_t) blocks resident
+    # (3 carry inputs + 4 outputs); _plan bills 2*n_out, so n_out=4 over-
+    # covers at HIGHEST (fp32 blocks + emulation stack, never yet profiled
+    # on chip) while the measured-good bf16 plan keeps its round-3 bill.
+    plan = _plan(b, n_fft, f, t_total, hop, highest=highest,
+                 n_out=4 if highest else 3)
     if plan is None:
         return None
     n_t_tiles = -(-t_total // plan["tile_t"])

@@ -72,9 +72,10 @@ def _warn_cache_growth(obj) -> None:
 
     warnings.warn(
         f"{type(obj).__name__}.step has compiled {len(obj._jit_cache)} "
-        "distinct (batch, chunk_len, progress) combinations; each costs a "
-        "fresh trace/compile and is cached forever. Pad variable-length "
-        "chunks to one fixed size."
+        "distinct step shapes (batch x chunk length for analysis streams, "
+        "batch x frame count for StreamingiSTFT); each costs a fresh "
+        "trace/compile and is cached forever. Pad variable-length chunks "
+        "to one fixed size."
     )
 
 

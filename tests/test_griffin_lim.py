@@ -94,6 +94,35 @@ def test_griffin_lim_bf16_carries_match_fp32_snr():
     assert abs(errs["default"] - errs["highest"]) < 0.02, errs
 
 
+def test_gl_fused_gate_never_raises_precision(monkeypatch):
+    """iter_precision='highest' must not RAISE precision above the ambient
+    setting (class contract): under ambient 'default' the fused fp32 step
+    stays closed and the XLA loop traces at ambient, exactly as before
+    round 4 (code-review finding)."""
+    from nnaudio_tpu import config as cfgmod
+    from nnaudio_tpu.config import set_matmul_precision
+    from nnaudio_tpu.ops import framed_matmul
+
+    calls = []
+    monkeypatch.setattr(cfgmod, "on_tpu", lambda: True)
+    monkeypatch.setattr(framed_matmul, "gl_step_plan",
+                        lambda *a, **k: calls.append(k) or None)
+    gl = features.Griffin_Lim(n_fft=512, hop_length=128, n_iter=1,
+                              iter_precision="highest")
+    S = np.abs(np.random.RandomState(0).randn(1, 257, 40)).astype(np.float32)
+    gl(S)  # ambient 'highest' (suite default): fused fp32 gate consulted
+    assert calls and calls[-1].get("highest") is True
+    calls.clear()
+    prev = cfgmod.get_config().matmul_precision
+    set_matmul_precision("default")
+    try:
+        gl(S)
+        assert not calls, ("ambient 'default' + iter 'highest' must keep "
+                           "the XLA loop (never raise precision)")
+    finally:
+        set_matmul_precision(prev)
+
+
 def test_gl_fused_gate_respects_tf32(monkeypatch):
     """tensorfloat32 asks ~1e-4 iteration numerics; the fused step's bf16
     carries deliver ~2e-3, so the tf32 setting must keep the XLA loop

@@ -241,7 +241,7 @@ def test_streaming_fuse_override_traces_fused_path(monkeypatch):
         assert fm._fuse_workload_ok(1)
     with fm.force_fuse(False):
         assert not fm._fuse_workload_ok(10**10)
-    assert fm._FORCE_FUSE is None  # restored
+    assert fm._FORCE_FUSE.get() is None  # restored
 
     # a fuse-pinned stream still computes exact results (XLA fallback path
     # exists for envelopes the kernels don't support, e.g. CPU interpret)
