@@ -473,3 +473,36 @@ def test_downsample_shorter_than_fir_is_empty():
     fir = np.random.RandomState(14).randn(256).astype(np.float32)  # even taps
     out = downsample_by_n(jnp.asarray(np.zeros((2, 1), np.float32)), fir, 2)
     assert out.shape == (2, 0)
+
+
+def test_streaming_step_under_batch_sharding(mesh8):
+    """The compiled streaming step is a pure array function, so it rides DP
+    batch sharding directly: feeding batch-sharded state+chunks gives the
+    same frames as unsharded (per-example transform — no collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nnaudio_tpu import streaming
+
+    n_fft, hop = 512, 128
+    x = np.random.RandomState(40).randn(8, hop * 40).astype(np.float32)
+    sh = NamedSharding(mesh8, P("data"))
+
+    def run(shard: bool):
+        s = streaming.StreamingSTFT(n_fft=n_fft, hop_length=hop)
+        state = s.init_state(8)
+        if shard:
+            state = type(state)(jax.device_put(state.buffer, sh),
+                                state.primed)
+        outs = []
+        for pos in range(0, x.shape[1], hop * 8):
+            chunk = x[:, pos : pos + hop * 8]
+            if shard:
+                chunk = jax.device_put(chunk, sh)
+            state, fr = s.step(state, chunk)
+            if fr.shape[2]:
+                outs.append(np.asarray(fr))
+        return np.concatenate(outs, axis=2)
+
+    want, got = run(False), run(True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-6 * np.abs(want).max())

@@ -13,6 +13,7 @@ the first failure.
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -190,8 +191,67 @@ def main():
     check("streaming_stft_vs_offline",
           sgot.shape == swant.shape and srel < 1e-4, f"rel_err={srel:.2e}")
 
+    # parallel composed-cascade chain (round 4) == serial chain on-chip
+    from nnaudio_tpu.config import set_use_parallel_chain
+
+    cq = features.CQT2010v2(sr=22050, hop_length=512, n_bins=84,
+                            bins_per_octave=12, verbose=False)
+    xb3 = rng.standard_normal((2, 44100 + 977)).astype(np.float32)
+    want_ser = np.asarray(cq(xb3))
+    set_use_parallel_chain(True)
+    try:
+        got_par = np.asarray(cq(xb3))
+    finally:
+        set_use_parallel_chain(None)
+    rel = np.abs(got_par - want_ser).max() / (np.abs(want_ser).max() + 1e-12)
+    check("cqt2010v2_parallel_chain_vs_serial", rel < 1e-4,
+          f"rel_err={rel:.2e}")
+
+    # fp32 fused GL step (round 4): same fixed-point map as the XLA fp32
+    # loop to fp32 tightness (first-ever on-chip run of this kernel)
+    glh = features.Griffin_Lim(n_fft=1024, hop_length=256, n_iter=2,
+                               iter_precision="highest")
+    rec_fh = np.asarray(glh(Sm, key=jax.random.PRNGKey(7)))[0]
+    set_use_pallas(False)
+    try:
+        rec_xh = np.asarray(glh(Sm, key=jax.random.PRNGKey(7)))[0]
+    finally:
+        set_use_pallas(True)
+    d_h = np.abs(rec_fh - rec_xh).max() / np.abs(rec_xh).max()
+    check("griffin_lim_fused_fp32_semantics", d_h < 5e-4,
+          f"max_rel={d_h:.2e}")
+
+    # streaming fuse=True (round 4): gate-overridden Pallas steps must be
+    # exact vs the offline transform on-chip (serving chunks sit below the
+    # workload gate, so this path never ran before)
+    sfused = streaming.StreamingSTFT(n_fft=sN, hop_length=sH, fuse=True)
+    fstate = sfused.init_state(2)
+    fouts = []
+    for pos in range(0, xs.shape[1], sH * 24):
+        fstate, fr = sfused.step(fstate, xs[:, pos : pos + sH * 24])
+        if fr.shape[2]:
+            fouts.append(np.asarray(fr))
+    fgot = np.concatenate(fouts, axis=2)
+    frel = np.abs(fgot - swant).max() / np.abs(swant).max()
+    check("streaming_fused_vs_offline",
+          fgot.shape == swant.shape and frel < 2e-3, f"rel_err={frel:.2e}")
+
+    # real-audio frozen oracle (round 4) on-chip
+    gt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "ground-truths",
+        "real_audio_oracles.npz")
+    if os.path.exists(gt):
+        with np.load(gt) as z:
+            ra_x, ra_mel = z["input"], z["mel_128"]
+        mel_l = features.MelSpectrogram(sr=22050, n_fft=1024, hop_length=256,
+                                        n_mels=128, verbose=False)
+        got = np.asarray(mel_l(ra_x[None]))
+        rel = np.abs(got - ra_mel).max() / np.abs(ra_mel).max()
+        check("real_audio_mel_vs_frozen_reference", rel < 2e-3,
+              f"rel_err={rel:.2e}")
+
     # checkpoint round-trip (npz)
-    import tempfile, os
+    import tempfile
 
     d = tempfile.mkdtemp()
     p = os.path.join(d, "ck.npz")
