@@ -15,7 +15,12 @@ the 2-process mesh (the grad of replicated params forces a real cross-process
 reduction). Prints one RESULT line; the parent asserts equality with the same
 computation done single-process.
 
-Usage: python _mp_worker.py <coordinator_address> <process_id>
+Also exercises, ACROSS the process boundary: the time-sharded STFT's
+ppermute halo exchange (shard boundary 3|4 spans the two processes) and a
+sharded orbax checkpoint round-trip (each host persists/reads only its
+addressable shards).
+
+Usage: python _mp_worker.py <coordinator_address> <process_id> <ckpt_dir>
 """
 import os
 import sys
@@ -84,6 +89,49 @@ def main():
         out_shardings=parallel.replicate(mesh),
     )(params, gb)
     gsum = float(sum(jnp.sum(jnp.abs(g)) for g in grads.values()))
+
+    # ---- cross-process collectives: time-sharded STFT halo exchange ----
+    # the ppermute halo ships (n_fft - hop) samples between shards; with the
+    # time axis spanning BOTH processes, shard boundaries 3|4 cross the
+    # process boundary — the first real cross-host collective in this repo.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_fft, hop = 256, 64
+    halo = n_fft - hop
+    l_total = 8 * 1024
+    full_sig = np.random.RandomState(1).randn(1, l_total).astype(np.float32)
+    st = features.STFT(n_fft=n_fft, hop_length=hop, center=False,
+                       output_format="Complex", verbose=False)
+    local_sig = full_sig[:, pid * (l_total // 2):(pid + 1) * (l_total // 2)]
+    gx = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, "data")), local_sig)
+    real, imag_raw = parallel.time_sharded_stft(
+        gx, np.asarray(st._params["wcos"]), np.asarray(st._params["wsin"]),
+        hop, mesh)
+    # per-process oracle: offline center=False STFT of the halo-padded
+    # signal (computed locally and identically on both hosts)
+    want = np.asarray(st(np.pad(full_sig, ((0, 0), (0, halo)))))
+    for arr, wt in ((real, want[..., 0]), (imag_raw, -want[..., 1])):
+        for s in arr.addressable_shards:
+            got = np.asarray(s.data)
+            ref = wt[s.index]
+            assert np.allclose(got, ref, rtol=1e-4, atol=1e-5), (
+                pid, s.index, np.abs(got - ref).max())
+
+    # ---- multi-process sharded orbax checkpoint round-trip ----
+    from nnaudio_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    ckpt_dir = sys.argv[3]
+    bank = np.arange(8 * 160, dtype=np.float32).reshape(8, 160)
+    sharded = {"bank": jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data", None)), bank[pid * 4:(pid + 1) * 4])}
+    save_sharded(ckpt_dir, sharded)
+    restored = load_sharded(
+        ckpt_dir, {"bank": jax.ShapeDtypeStruct((8, 160), np.float32)},
+        {"bank": NamedSharding(mesh, P("data", None))})
+    for s in restored["bank"].addressable_shards:
+        assert np.array_equal(np.asarray(s.data), bank[s.index]), s.index
+
     print(f"RESULT pid={pid} loss={loss!r} gsum={gsum!r}", flush=True)
 
 

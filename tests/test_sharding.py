@@ -420,8 +420,11 @@ def test_multiprocess_dp_matches_single_process():
     coord = f"127.0.0.1:{port}"
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
     env = _fresh_jax_env()
+    import tempfile
+
+    ckpt_dir = os.path.join(tempfile.mkdtemp(), "mp_ckpt")
     procs = [
-        subprocess.Popen([sys.executable, worker, coord, str(pid)],
+        subprocess.Popen([sys.executable, worker, coord, str(pid), ckpt_dir],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env)
         for pid in range(2)
