@@ -400,7 +400,7 @@ def test_distributed_initialize_error_messages_still_match():
     )
 
 
-def test_multiprocess_dp_matches_single_process():
+def test_multiprocess_dp_matches_single_process(tmp_path):
     """The TRUE multi-host path: two OS processes form a real
     ``jax.distributed`` cluster (localhost coordinator, 4 virtual CPU devices
     each -> 8 global), assemble a global batch from host-local halves with
@@ -420,9 +420,7 @@ def test_multiprocess_dp_matches_single_process():
     coord = f"127.0.0.1:{port}"
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
     env = _fresh_jax_env()
-    import tempfile
-
-    ckpt_dir = os.path.join(tempfile.mkdtemp(), "mp_ckpt")
+    ckpt_dir = str(tmp_path / "mp_ckpt")
     procs = [
         subprocess.Popen([sys.executable, worker, coord, str(pid), ckpt_dir],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,

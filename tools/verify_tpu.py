@@ -177,13 +177,8 @@ def main():
     sN, sH = 1024, 256
     xs = np.random.RandomState(9).randn(2, sH * 120).astype(np.float32)
     sstft = streaming.StreamingSTFT(n_fft=sN, hop_length=sH)
-    sstate = sstft.init_state(2)
-    souts = []
-    for pos in range(0, xs.shape[1], sH * 24):
-        sstate, fr = sstft.step(sstate, xs[:, pos : pos + sH * 24])
-        if fr.shape[2]:
-            souts.append(np.asarray(fr))
-    sgot = np.concatenate(souts, axis=2)
+    sgot = np.concatenate([np.asarray(f) for f in sstft.stream(xs, sH * 24)],
+                          axis=2)
     swant = np.asarray(features.STFT(n_fft=sN, hop_length=sH, center=False,
                                      output_format="Magnitude",
                                      verbose=False)(xs))
@@ -225,13 +220,8 @@ def main():
     # exact vs the offline transform on-chip (serving chunks sit below the
     # workload gate, so this path never ran before)
     sfused = streaming.StreamingSTFT(n_fft=sN, hop_length=sH, fuse=True)
-    fstate = sfused.init_state(2)
-    fouts = []
-    for pos in range(0, xs.shape[1], sH * 24):
-        fstate, fr = sfused.step(fstate, xs[:, pos : pos + sH * 24])
-        if fr.shape[2]:
-            fouts.append(np.asarray(fr))
-    fgot = np.concatenate(fouts, axis=2)
+    fgot = np.concatenate([np.asarray(f) for f in sfused.stream(xs, sH * 24)],
+                          axis=2)
     frel = np.abs(fgot - swant).max() / np.abs(swant).max()
     check("streaming_fused_vs_offline",
           fgot.shape == swant.shape and frel < 2e-3, f"rel_err={frel:.2e}")
@@ -249,6 +239,10 @@ def main():
         rel = np.abs(got - ra_mel).max() / np.abs(ra_mel).max()
         check("real_audio_mel_vs_frozen_reference", rel < 2e-3,
               f"rel_err={rel:.2e}")
+    else:
+        # never skip silently: the drive's accounting must show the gap
+        check("real_audio_mel_vs_frozen_reference", False,
+              f"MISSING {gt} — regenerate with tools/make_audio_fixture.py")
 
     # checkpoint round-trip (npz)
     import tempfile
