@@ -196,6 +196,15 @@ def tpu_metrics() -> dict[str, dict]:
     out["griffin_lim"] = _thr(_timeit(
         lambda SS, k: gl._forward(glp, SS, k), S, iters=2, extra=key))
 
+    # vocoder-free mel->audio (beyond-reference; no denominator exists)
+    inv = features.InverseMelSpectrogram(sr=SR, n_fft=N_FFT, hop_length=HOP,
+                                         n_mels=128, n_iter_nnls=64,
+                                         n_iter=32, verbose=False)
+    mel_in = jax.device_put(np.asarray(mel._forward(mp, x)))
+    ivp = dict(inv._params)
+    out["inverse_mel"] = _thr(_timeit(
+        lambda MM, k: inv._forward(ivp, MM, k), mel_in, iters=2, extra=key))
+
     # trainable end-to-end step: STFT basis + linear head under jax.grad
     stt = features.STFT(n_fft=N_FFT, hop_length=HOP,
                         output_format="Magnitude", trainable=True,
@@ -473,6 +482,7 @@ NAMES = {
     "cfp": "cfp_throughput_fs16k",
     "istft": "istft_throughput_n2048_h512",
     "griffin_lim": "griffin_lim_throughput_32iters",
+    "inverse_mel": "inverse_mel_throughput_64nnls_32gl",
     "train_step": "trainable_stft_train_step_throughput",
     "train_step_fast": "trainable_stft_train_step_fast_bf16_throughput",
     "train_step_cqt": "trainable_cqt1992v2_train_step_throughput",

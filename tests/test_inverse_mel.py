@@ -1,0 +1,108 @@
+"""InverseMelSpectrogram: batched NNLS mel pseudo-inversion + Griffin-Lim.
+
+Beyond-reference capability (librosa's mel_to_audio analog, TPU-native);
+the NNLS stage is validated against scipy's fp64 reference solver and the
+end-to-end path by mel-domain round-trip error.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nnaudio_tpu import features
+
+
+def test_nnls_matches_scipy_objective():
+    """Projected-gradient NNLS must reach (near) the scipy.optimize.nnls
+    objective on random nonnegative-solution problems."""
+    from scipy.optimize import nnls as scipy_nnls
+
+    inv = features.InverseMelSpectrogram(sr=16000, n_fft=256, n_mels=24,
+                                         hop_length=64, n_iter_nnls=400,
+                                         verbose=False)
+    M = np.asarray(inv._params["mel_basis"], np.float64)  # (24, 129)
+    rng = np.random.RandomState(0)
+    s_true = np.abs(rng.randn(1, M.shape[1], 6)) * (rng.rand(1, M.shape[1], 6)
+                                                    > 0.5)
+    mel = np.einsum("gf,bft->bgt", M, s_true).astype(np.float32)
+
+    s_pg = np.asarray(inv.mel_to_power(dict(inv._params),
+                                       jnp.asarray(mel)), np.float64)
+    for t in range(mel.shape[2]):
+        b = mel[0, :, t].astype(np.float64)
+        s_ref, r_ref = scipy_nnls(M, b)
+        r_pg = np.linalg.norm(M @ s_pg[0, :, t] - b)
+        # scipy reaches the exact optimum; PG must be within a hair of it
+        assert r_pg <= r_ref + 1e-3 * max(np.linalg.norm(b), 1.0), (
+            t, r_pg, r_ref)
+
+
+def test_mel_roundtrip_error():
+    """audio -> mel -> InverseMel -> audio': the mel of the reconstruction
+    must match the target mel to GL-level spectral error."""
+    sr, n_fft, n_mels, hop = 16000, 512, 64, 128
+    t = np.arange(sr) / sr
+    x = (np.sin(2 * np.pi * 440 * t)
+         + 0.5 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)[None]
+    mel_layer = features.MelSpectrogram(sr=sr, n_fft=n_fft, hop_length=hop,
+                                        n_mels=n_mels, verbose=False)
+    mel = mel_layer(x)
+    inv = features.InverseMelSpectrogram(sr=sr, n_fft=n_fft, hop_length=hop,
+                                         n_mels=n_mels, n_iter_nnls=64,
+                                         n_iter=24, verbose=False)
+    rec = np.asarray(inv(mel, key=jax.random.PRNGKey(1)))
+    assert rec.shape == x.shape
+    mel2 = np.asarray(mel_layer(rec))
+    m1 = np.asarray(mel)
+    tt = min(m1.shape[2], mel2.shape[2])
+    err = (np.linalg.norm(mel2[..., :tt] - m1[..., :tt])
+           / np.linalg.norm(m1[..., :tt]))
+    assert err < 0.2, err
+
+
+def test_inverse_mel_power1():
+    """power=1 (amplitude-mel) path: the NNLS output feeds GL without the
+    square root."""
+    sr, n_fft, n_mels, hop = 16000, 512, 40, 128
+    x = np.random.RandomState(2).randn(1, 8192).astype(np.float32)
+    mel_layer = features.MelSpectrogram(sr=sr, n_fft=n_fft, hop_length=hop,
+                                        n_mels=n_mels, power=1.0,
+                                        verbose=False)
+    inv = features.InverseMelSpectrogram(sr=sr, n_fft=n_fft, hop_length=hop,
+                                         n_mels=n_mels, power=1.0,
+                                         n_iter_nnls=32, n_iter=8,
+                                         verbose=False)
+    rec = np.asarray(inv(mel_layer(x), key=jax.random.PRNGKey(3)))
+    assert rec.shape == x.shape and np.isfinite(rec).all()
+
+
+def test_inverse_mel_rejects_bad_shape():
+    inv = features.InverseMelSpectrogram(sr=16000, n_fft=512, n_mels=40,
+                                         hop_length=128, verbose=False)
+    with pytest.raises(AssertionError, match="batch, n_mels"):
+        inv(np.zeros((40, 10), np.float32))
+
+
+def test_inverse_mel_real_audio():
+    """Round-trip on the real-audio fixture (guitar pluck arrangement)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "ground-truths",
+                        "real_audio_22050.npy")
+    if not os.path.exists(path):
+        pytest.skip("real-audio fixture not generated")
+    x = np.load(path)[None][:, : 22050]
+    sr, n_fft, n_mels, hop = 22050, 1024, 80, 256
+    mel_layer = features.MelSpectrogram(sr=sr, n_fft=n_fft, hop_length=hop,
+                                        n_mels=n_mels, verbose=False)
+    mel = mel_layer(x)
+    inv = features.InverseMelSpectrogram(sr=sr, n_fft=n_fft, hop_length=hop,
+                                         n_mels=n_mels, n_iter_nnls=64,
+                                         n_iter=24, verbose=False)
+    rec = np.asarray(inv(mel, key=jax.random.PRNGKey(4)))
+    mel2 = np.asarray(mel_layer(rec))
+    m1 = np.asarray(mel)
+    tt = min(m1.shape[2], mel2.shape[2])
+    err = (np.linalg.norm(mel2[..., :tt] - m1[..., :tt])
+           / np.linalg.norm(m1[..., :tt]))
+    assert err < 0.35, err
