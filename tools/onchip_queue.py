@@ -30,14 +30,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOLS = os.path.join(REPO, "tools")
 
 
+LOGDIR = os.path.join(REPO, "tools", "onchip_logs")
+
+
 def run(name, cmd, timeout):
     print(f"\n=== {name} ===", flush=True)
     t0 = time.time()
+    os.makedirs(LOGDIR, exist_ok=True)
+    slug = name.split()[0].replace("/", "_")
+    log_path = os.path.join(LOGDIR, f"{slug}.log")
     # cwd=REPO: the child scripts resolve the package via sys.path.insert(".")
-    p = subprocess.run([sys.executable] + cmd, timeout=timeout, cwd=REPO)
-    print(f"=== {name}: rc={p.returncode} in {time.time()-t0:.0f}s ===",
-          flush=True)
-    return p.returncode
+    # Each child writes straight to tools/onchip_logs/<step>.log (unbuffered
+    # file handle) so the A/B data and verify results land on disk —
+    # committable — even if the invoking session dies mid-backlog or the
+    # child hangs into its timeout.
+    rc = None
+    with open(log_path, "w") as log:
+        try:
+            p = subprocess.run([sys.executable, "-u"] + cmd, cwd=REPO,
+                               timeout=timeout, stdout=log,
+                               stderr=subprocess.STDOUT)
+            rc = p.returncode
+        except subprocess.TimeoutExpired:
+            log.write(f"\n=== TIMEOUT after {timeout}s ===\n")
+            rc = 124
+    sys.stdout.write(open(log_path).read())
+    print(f"=== {name}: rc={rc} in {time.time()-t0:.0f}s "
+          f"(log: {log_path}) ===", flush=True)
+    return rc
 
 
 def main():
