@@ -137,7 +137,29 @@ def test_salt_fields_cover_read_toggles():
     classes = [F.STFT, F.iSTFT, F.MelSpectrogram, F.MFCC, F.CQT1992,
                F.CQT1992v2, F.CQT2010, F.CQT2010v2, F.VQT, F.Gammatonegram,
                F.ChromaSTFT, F.Griffin_Lim, F.Combined_Frequency_Periodicity,
-               F.CFP]
+               F.CFP, F.InverseMelSpectrogram]
     for cls in classes:
         assert set(cls._salt_fields) <= valid, cls
         assert "matmul_precision" in cls._salt_fields, cls
+
+
+def test_parallel_chain_toggle_retraces_pyramid():
+    """Flipping use_parallel_chain must retrace an already-used CQT2010v2
+    (it is in the pyramid family's _salt_fields) and the two traces must
+    agree numerically."""
+    import numpy as np
+    from nnaudio_tpu import features
+    from nnaudio_tpu.config import set_use_parallel_chain
+
+    x = np.random.RandomState(0).randn(1, 44100).astype(np.float32)
+    layer = features.CQT2010v2(sr=22050, hop_length=512, n_bins=84,
+                               bins_per_octave=12, verbose=False)
+    a = np.asarray(layer(x))
+    n_cached = len(layer._jit_cache)
+    try:
+        set_use_parallel_chain(True)
+        b = np.asarray(layer(x))
+    finally:
+        set_use_parallel_chain(None)
+    assert len(layer._jit_cache) == n_cached + 1, "toggle must retrace"
+    np.testing.assert_allclose(b, a, atol=2e-5 * np.abs(a).max(), rtol=1e-4)
