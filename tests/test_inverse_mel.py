@@ -106,3 +106,20 @@ def test_inverse_mel_real_audio():
     err = (np.linalg.norm(mel2[..., :tt] - m1[..., :tt])
            / np.linalg.norm(m1[..., :tt]))
     assert err < 0.35, err
+
+
+def test_nnls_stage_is_differentiable():
+    """mel_to_power (a fixed-trip-count fori_loop of matmuls + relu) must be
+    reverse-differentiable wrt the mel input — the seam for optimizing a
+    generator against a mel target through the inversion."""
+    inv = features.InverseMelSpectrogram(sr=16000, n_fft=256, n_mels=24,
+                                         hop_length=64, n_iter_nnls=8,
+                                         verbose=False)
+    mel = jnp.asarray(np.abs(np.random.RandomState(5)
+                             .randn(1, 24, 4)).astype(np.float32))
+    p = dict(inv._params)
+
+    g = jax.grad(lambda m: jnp.sum(inv.mel_to_power(p, m) ** 2))(mel)
+    assert g.shape == mel.shape
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
