@@ -282,3 +282,52 @@ def test_chroma_filterbank_parity(ref):
     got = chroma_filterbank(22050, 2048, n_chroma=12)
     want = ref_chroma(22050, 2048, n_chroma=12)[:, : 1 + 2048 // 2]
     assert np.allclose(got, np.asarray(want, np.float32), atol=1e-5)
+
+
+def test_mfcc_custom_dynamics_parity(ref, torchmod):
+    """MFCC with non-default ref/amin and top_db=None (round 4: these knobs
+    gate the StreamingMFCC contract, so pin their offline parity)."""
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, n_mfcc=13, n_fft=512, hop_length=160, n_mels=40,
+              ref=0.5, amin=1e-8, top_db=None)
+    ours = features.MFCC(verbose=False, **kw)
+    theirs = ref.MFCC(verbose=False, **kw)
+    got = np.asarray(ours(SIG))
+    want = theirs(torchmod.tensor(SIG)).numpy()
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 0.05  # dB-scale output
+
+
+def test_gammatone_power1_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, n_fft=1024, hop_length=256, n_bins=48, power=1.0)
+    ours = features.Gammatonegram(verbose=False, **kw)
+    theirs = ref.Gammatonegram(verbose=False, **kw)
+    close(np.asarray(ours(SIG)),
+          theirs(torchmod.tensor(SIG)).detach().numpy())
+
+
+def test_cqt1992v2_fmax_overrides_bins_parity(ref, torchmod):
+    """fmax-given construction (n_bins recomputed from the span)."""
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, fmin=55, fmax=3520, bins_per_octave=12,
+              hop_length=256)
+    ours = features.CQT1992v2(verbose=False, **kw)
+    theirs = ref.CQT1992v2(verbose=False, **kw)
+    got = np.asarray(ours(SIG, output_format="Magnitude"))
+    want = theirs(torchmod.tensor(SIG)).numpy()
+    close(got, want)
+
+
+def test_mel_fmin_fmax_window_parity(ref, torchmod):
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, n_fft=1024, hop_length=256, n_mels=80, fmin=80.0,
+              fmax=7600.0, window="hamming")
+    ours = features.MelSpectrogram(verbose=False, **kw)
+    theirs = ref.MelSpectrogram(verbose=False, **kw)
+    close(np.asarray(ours(SIG)),
+          theirs(torchmod.tensor(SIG)).detach().numpy())
