@@ -704,3 +704,42 @@ def test_synthesis_auto_fuse_policy():
     assert pol(320, 2048, "tensorfloat32") is True   # q = 2
     assert pol(128, 2048, "highest") is True         # 16 chunks
     assert pol(256, 2048, "highest") is False        # aligned, 8 chunks
+
+
+@pytest.mark.parametrize("highest", [False, True])
+def test_gl_fused_loop_misaligned_hop(highest):
+    """Fused GL step on a q>1 hop (512/160: lcm-repack with 4 phases) —
+    the phase-strided slab path inside _framed_gl_step, both precisions."""
+    from nnaudio_tpu import features
+
+    sr, n_fft, hop = 16000, 512, 160
+    tt = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 330 * tt).astype(np.float32)
+    stft = features.STFT(n_fft=n_fft, hop_length=hop, center=True,
+                         output_format="Magnitude", verbose=False)
+    S = stft(x[None])
+    gl = features.Griffin_Lim(
+        n_fft=n_fft, hop_length=hop, n_iter=2, center=True,
+        iter_precision="highest" if highest else "default")
+    p = {k: jnp.asarray(v) for k, v in gl._params.items()}
+    key = jax.random.PRNGKey(11)
+    rec_xla = np.asarray(jax.jit(gl._forward)(p, jnp.asarray(S), key))[0]
+
+    b, f, t = S.shape
+    plan = framed_matmul.gl_step_plan(b, n_fft + hop * (t - 1), f, n_fft,
+                                      hop, highest=highest)
+    assert plan is not None and plan["q"] == 4
+    rand_phase = jax.random.normal(key, (b, f, t))
+    mom = gl.momentum / (1 + gl.momentum)
+    framed_matmul._INTERPRET = True
+    try:
+        rec_fused = np.asarray(jax.jit(
+            lambda pp, SS, rp: gl._forward_fused(pp, SS, rp, mom, plan)
+        )(p, jnp.asarray(S), rand_phase))[0]
+    finally:
+        framed_matmul._INTERPRET = False
+
+    assert rec_fused.shape == rec_xla.shape
+    scale = np.abs(rec_xla).max()
+    err = np.abs(rec_fused - rec_xla).max() / scale
+    assert err < (5e-4 if highest else 3e-2), err
