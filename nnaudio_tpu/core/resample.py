@@ -60,6 +60,20 @@ def compose_cascade(fir: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def compose_cascade_jnp(fir: jax.Array, k: int) -> jax.Array:
+    """Traceable twin of :func:`compose_cascade` for apply-time
+    ``lowpass_filter`` overrides (possibly tracers under jit/grad): same
+    ``H_k = h ∗ ↑2h ∗ … ∗ ↑2^{k-1}h`` composition in fp32 jnp ops. The
+    fp32-vs-fp64 composition delta is far inside the parallel chain's
+    fp32-reassociation tolerance (test_parallel_chain_matches_serial_*)."""
+    out = fir
+    for i in range(1, k):
+        up_len = (fir.shape[-1] - 1) * 2**i + 1
+        up = jnp.zeros((up_len,), fir.dtype).at[:: 2**i].set(fir)
+        out = jnp.convolve(out, up)
+    return out
+
+
 def downsample_by_n(
     x: jax.Array, fir: jax.Array, n: int, pad: int | None = None
 ) -> jax.Array:

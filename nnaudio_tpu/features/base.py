@@ -28,10 +28,15 @@ class SpectralTransform:
     #: set (safe for any subclass); concrete transforms narrow it.
     _salt_fields: tuple = ("matmul_precision", "use_pallas",
                            "use_pallas_synthesis", "use_fused_pyramid",
-                           "use_mxu_fft")
+                           "use_mxu_fft", "use_parallel_chain")
 
     def __init__(self) -> None:
         self._params: dict[str, jax.Array] = {}
+        #: arrays that are pure functions of entries in ``_params`` (e.g.
+        #: the pyramid's composed cascade filters): fed to the forward like
+        #: parameters, but never saved/loaded as state — recomputed via the
+        #: :meth:`_refresh_derived` / :meth:`_rederive` hooks instead.
+        self._derived: dict[str, jax.Array] = {}
         self._trainable: set[str] = set()
         self._jit_cache: dict[Any, Callable] = {}
 
@@ -59,6 +64,20 @@ class SpectralTransform:
             if k not in self._params:
                 raise KeyError(f"unknown parameter {k!r}")
             self._params[k] = jnp.asarray(v)
+        self._refresh_derived(set(new_params))
+
+    # ------------------------------------------------------------ derived --
+    def _refresh_derived(self, changed: set) -> None:
+        """Hook: recompute :attr:`_derived` after the named parameters were
+        persistently updated (update_params / load_state_dict). Default:
+        nothing is derived."""
+
+    def _rederive(self, merged: dict, overridden: frozenset) -> dict:
+        """Hook: recompute derived entries of ``merged`` when an apply-time
+        parameter override invalidates them. Unlike
+        :meth:`_refresh_derived` this may see tracers (overrides passed
+        under jit/grad), so implementations must be jnp-traceable."""
+        return merged
 
     # ------------------------------------------------------------ forward --
     def _forward(self, params: Mapping[str, jax.Array], x: jax.Array, **kw):
@@ -68,8 +87,10 @@ class SpectralTransform:
         """Functional forward: ``params`` (possibly a partial override, e.g.
         just the trainable subset) applied over the stored parameters."""
         merged = dict(self._params)
+        merged.update(self._derived)
         if params:
             merged.update(params)
+            merged = self._rederive(merged, frozenset(params))
         x = jnp.asarray(x)
         from ..config import cache_salt
 
@@ -101,16 +122,24 @@ class SpectralTransform:
         ``nn.Module`` default this mirrors) raises on unexpected or
         missing keys instead of silently running with init-time weights."""
         if strict:
-            unexpected = sorted(set(state) - set(self._params))
+            # derived arrays (self._derived) are accepted-and-ignored:
+            # snapshots written by versions that stored them as parameters
+            # still load, but they are always recomputed from the real
+            # state below, never trusted from the file
+            unexpected = sorted(set(state) - set(self._params)
+                                - set(self._derived))
             missing = sorted(set(self._params) - set(state))
             if unexpected or missing:
                 raise KeyError(
                     f"load_state_dict (strict): missing keys {missing}, "
                     f"unexpected keys {unexpected}"
                 )
+        loaded = set()
         for k, v in state.items():
             if k in self._params:
                 self._params[k] = jnp.asarray(v)
+                loaded.add(k)
+        self._refresh_derived(loaded)
 
     def _verbose_print(self, verbose: bool, message: str) -> None:
         if verbose:

@@ -17,6 +17,21 @@ from .base import SpectralTransform
 from .stft import STFT
 
 
+def normalize_frames(chroma, norm):
+    """librosa-convention per-frame norm (``inf`` = per-frame max, a number
+    = Lp norm, ``None`` = off), shared by :class:`ChromaSTFT` and
+    ``streaming.StreamingChroma`` so the two paths cannot drift."""
+    if norm is None:
+        return chroma
+    if norm == jnp.inf or norm == float("inf"):
+        scale = jnp.max(jnp.abs(chroma), axis=1, keepdims=True)
+    else:
+        scale = jnp.sum(jnp.abs(chroma) ** norm, axis=1,
+                        keepdims=True) ** (1.0 / norm)
+    tiny = jnp.finfo(chroma.dtype).tiny
+    return chroma / jnp.where(scale < tiny, 1.0, scale)
+
+
 class ChromaSTFT(SpectralTransform):
     """Chromagram: STFT-magnitude^power folded onto pitch classes via a
     chroma filterbank. The reference ships the chroma filter math in
@@ -123,14 +138,4 @@ class ChromaSTFT(SpectralTransform):
             params, broadcast_dim(x), params["chroma_basis"], self.power,
             eps=1e-8 if self.trainable_STFT else 0.0,
         )
-        if self.norm is not None:
-            # librosa chroma_stft default: per-frame inf-norm
-            if self.norm == jnp.inf or self.norm == float("inf"):
-                scale = jnp.max(jnp.abs(chroma), axis=1, keepdims=True)
-            else:
-                scale = jnp.sum(jnp.abs(chroma) ** self.norm, axis=1, keepdims=True) ** (
-                    1.0 / self.norm
-                )
-            tiny = jnp.finfo(chroma.dtype).tiny
-            chroma = chroma / jnp.where(scale < tiny, 1.0, scale)
-        return chroma
+        return normalize_frames(chroma, self.norm)

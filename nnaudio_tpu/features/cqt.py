@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..core.apply import complex_bank_mul, phase_unit_stack
 from ..core.frame import broadcast_dim, pad_signal
 from ..config import parallel_chain_enabled
-from ..core.resample import compose_cascade, downsample_by_n
+from ..core.resample import compose_cascade, compose_cascade_jnp, downsample_by_n
 from ..filters.cqt import create_cqt_kernels, create_lowpass_filter, early_downsample_params
 from ..filters.fourier import create_fourier_basis
 from ..ops.dispatch import framed_basis_pair, framed_complex, framed_magnitude
@@ -477,15 +477,13 @@ class _PyramidCQT(SpectralTransform):
         n_filters = min(bins_per_octave, n_bins)
         self.n_octaves = int(np.ceil(float(n_bins) / bins_per_octave))
 
-        # composed cascade filters for the parallel chain (fp64 at init;
-        # cascade_1 == lowpass_filter itself, so start at 2). ~2*taps*2^k
-        # floats total — trivial next to the kernel banks.
+        # composed cascade filters for the parallel chain: DERIVED state —
+        # a pure function of lowpass_filter (cascade_1 == the filter
+        # itself, so they start at 2), so they live in self._derived and
+        # are recomputed whenever the FIR changes, never saved/loaded.
+        # ~2*taps*2^k floats total — trivial next to the kernel banks.
         self._lowpass_pad = (lowpass.shape[-1] - 1) // 2
-        for k in range(2, self.n_octaves):
-            self._register(
-                f"lowpass_cascade_{k}",
-                compose_cascade(lowpass, k).astype(np.float32),
-            )
+        self._refresh_derived({"lowpass_filter"})
         self._verbose_print(verbose, f"num_octave = {self.n_octaves}")
 
         self.fmin_t = fmin * 2 ** (self.n_octaves - 1)
@@ -531,6 +529,30 @@ class _PyramidCQT(SpectralTransform):
                 "misaligns the deepest octaves for most input lengths"
             )
         return Q, sr, n_filters
+
+    def _refresh_derived(self, changed):
+        # fp64 recomposition whenever the base FIR changes persistently
+        # (init, update_params, load_state_dict) — including legacy
+        # snapshots that stored the cascades: they are accepted by
+        # load_state_dict but always rebuilt from the loaded filter here
+        if "lowpass_filter" not in changed:
+            return
+        fir = np.asarray(self._params["lowpass_filter"], np.float64)
+        for k in range(2, self.n_octaves):
+            self._derived[f"lowpass_cascade_{k}"] = jnp.asarray(
+                compose_cascade(fir, k).astype(np.float32)
+            )
+
+    def _rederive(self, merged, overridden):
+        # apply-time lowpass_filter override: recompose in-graph so the
+        # parallel chain tracks the override (tracer-safe; gradients flow
+        # through the composition if the override is being differentiated)
+        if "lowpass_filter" in overridden:
+            for k in range(2, self.n_octaves):
+                merged[f"lowpass_cascade_{k}"] = compose_cascade_jnp(
+                    merged["lowpass_filter"], k
+                )
+        return merged
 
     def _pyramid_chain(self, params, x):
         """Downsampled signal + hop per octave, top octave first — the chain
@@ -579,6 +601,12 @@ class _PyramidCQT(SpectralTransform):
             comp.append(downsample_by_n(x, firk, 2**k, pad=p * (2**k - 1)))
         levels = [x]
         for k in range(1, self.n_octaves):
+            if k == 1:
+                # comp[1] (base fir, pad=p) IS the serial stage call —
+                # zero edge contamination, no fixup work needed for the
+                # largest level
+                levels.append(comp[1])
+                continue
             prev, lc = levels[k - 1], comp[k].shape[-1]
             if lc == 0 or 2 * min(e0, lc) >= lc:
                 # level (nearly) inside the fixup window: plain serial stage

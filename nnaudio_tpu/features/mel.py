@@ -21,6 +21,27 @@ from .base import SpectralTransform
 from .stft import STFT
 
 
+def power_to_db(S, amin, ref, top_db):
+    """librosa-convention dB scaling (reference ``mel.py:263-303``), shared
+    by :class:`MFCC` and ``streaming.StreamingMFCC`` so the two paths cannot
+    drift. ``top_db`` (if given) clamps against the WHOLE-batch max — that is
+    why streaming callers must pass ``top_db=None``."""
+    amin = jnp.asarray(amin, dtype=S.dtype)
+    log_spec = 10.0 * jnp.log10(jnp.maximum(S, amin))
+    log_spec = log_spec - 10.0 * jnp.log10(
+        jnp.maximum(amin, jnp.asarray(ref, S.dtype)))
+    if top_db is not None:
+        batch_max = jnp.max(log_spec.reshape(log_spec.shape[0], -1), axis=1)
+        log_spec = jnp.maximum(log_spec, batch_max[:, None, None] - top_db)
+    return log_spec
+
+
+def mfcc_from_db(dct_basis, db, n_mfcc):
+    """Full-square DCT-II projection then crop to ``n_mfcc`` (the reference
+    computes all ``n_mels`` coefficients then slices, ``mel.py:325``)."""
+    return project(dct_basis, db)[:, :n_mfcc, :]
+
+
 class MelSpectrogram(SpectralTransform):
     """Mel spectrogram: STFT-magnitude^power projected onto a Mel filterbank.
 
@@ -223,19 +244,12 @@ class MFCC(SpectralTransform):
         self._register("dct_basis", dct_matrix(n_mels, n_mels, norm=norm))
 
     def _power_to_db(self, S):
-        amin = jnp.asarray(self.amin, dtype=S.dtype)
-        log_spec = 10.0 * jnp.log10(jnp.maximum(S, amin))
-        log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin, jnp.asarray(self.ref, S.dtype)))
-        if self.top_db is not None:
-            batch_max = jnp.max(log_spec.reshape(log_spec.shape[0], -1), axis=1)
-            log_spec = jnp.maximum(log_spec, batch_max[:, None, None] - self.top_db)
-        return log_spec
+        return power_to_db(S, self.amin, self.ref, self.top_db)
 
     def _forward(self, params, x):
         mel = self.melspec_layer._forward(params, x)
         db = self._power_to_db(mel)
-        mfcc = project(params["dct_basis"], db)
-        return mfcc[:, : self.n_mfcc, :]
+        return mfcc_from_db(params["dct_basis"], db, self.n_mfcc)
 
     def extra_repr(self) -> str:
         return f"n_mfcc = {self.n_mfcc}"

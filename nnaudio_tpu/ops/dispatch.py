@@ -294,6 +294,22 @@ def synthesis_auto_fuse(hop: int, n_fft: int, matmul_precision: str) -> bool:
     return q > 1 or n_chunks > 9
 
 
+def resolve_synthesis_fuse(cfg, hop: int, n_fft: int) -> bool:
+    """Whether :func:`synthesis_ola` takes the fused Pallas path. Explicit
+    config (``use_pallas_synthesis``) wins; in auto mode a
+    ``force_fuse(True/False)`` context (streaming's ``fuse`` ctor arg)
+    outranks the measured auto-policy — the caller is promising a
+    steady-state workload the policy's one-shot data doesn't model."""
+    if cfg.use_pallas_synthesis is not None:
+        return cfg.use_pallas_synthesis
+    from .framed_matmul import fuse_override
+
+    forced = fuse_override()
+    if forced is not None:
+        return forced
+    return synthesis_auto_fuse(hop, n_fft, cfg.matmul_precision)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def synthesis_ola(spec_re, spec_im, kc, ks, hop):
     """Fused iSTFT synthesis: (B, F, T) spectra x (F, n_fft) fully-weighted
@@ -301,9 +317,7 @@ def synthesis_ola(spec_re, spec_im, kc, ks, hop):
     tensor kept in VMEM on TPU. ``kc``/``ks`` carry window, 1/n_fft and
     Hermitian-fold weights; the op computes ``OLA(kc^T Re - ks^T Im)``."""
     cfg = get_config()
-    use_syn = cfg.use_pallas_synthesis
-    if use_syn is None:
-        use_syn = synthesis_auto_fuse(hop, kc.shape[1], cfg.matmul_precision)
+    use_syn = resolve_synthesis_fuse(cfg, hop, kc.shape[1])
     if on_tpu() and cfg.use_pallas and use_syn:
         from .framed_matmul import synthesis_ola_pallas
 

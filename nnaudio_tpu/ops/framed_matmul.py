@@ -685,6 +685,15 @@ def force_fuse(value: bool | None):
         _FORCE_FUSE.reset(token)
 
 
+def fuse_override() -> bool | None:
+    """The active :func:`force_fuse` value. Dispatch-level consumers check
+    it too: streaming's ``fuse=True`` must override the *synthesis
+    auto-policy* (ops/dispatch.synthesis_auto_fuse), not just the
+    workload gate — otherwise a ``fuse=True`` StreamingiSTFT at an
+    aligned fp32 config would silently run XLA."""
+    return _FORCE_FUSE.get()
+
+
 def _fuse_workload_ok(total_frames: int) -> bool:
     override = _FORCE_FUSE.get()
     if override is not None:

@@ -429,13 +429,10 @@ class StreamingMFCC(_StreamingFilterbank):
             dct_matrix(n_mels, n_mels, norm=norm))
 
     def _post(self, params, mel):
-        from .core.apply import project
+        from .features.mel import mfcc_from_db, power_to_db
 
-        amin = jnp.asarray(self.amin, dtype=mel.dtype)
-        db = 10.0 * jnp.log10(jnp.maximum(mel, amin))
-        db = db - 10.0 * jnp.log10(
-            jnp.maximum(amin, jnp.asarray(self.ref, mel.dtype)))
-        return project(params["dct_basis"], db)[:, : self.n_mfcc, :]
+        db = power_to_db(mel, self.amin, self.ref, None)
+        return mfcc_from_db(params["dct_basis"], db, self.n_mfcc)
 
     def _out_bins(self, params) -> int:
         return self.n_mfcc
@@ -474,15 +471,9 @@ class StreamingChroma(_StreamingFilterbank):
                               verbose, fuse)
 
     def _post(self, params, chroma):
-        if self.norm is None:
-            return chroma
-        if self.norm == jnp.inf or self.norm == float("inf"):
-            scale = jnp.max(jnp.abs(chroma), axis=1, keepdims=True)
-        else:
-            scale = jnp.sum(jnp.abs(chroma) ** self.norm, axis=1,
-                            keepdims=True) ** (1.0 / self.norm)
-        tiny = jnp.finfo(chroma.dtype).tiny
-        return chroma / jnp.where(scale < tiny, 1.0, scale)
+        from .features.chroma import normalize_frames
+
+        return normalize_frames(chroma, self.norm)
 
 
 class StreamingiSTFT:

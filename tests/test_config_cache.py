@@ -141,6 +141,12 @@ def test_salt_fields_cover_read_toggles():
     for cls in classes:
         assert set(cls._salt_fields) <= valid, cls
         assert "matmul_precision" in cls._salt_fields, cls
+    # the base-class default documents itself as the FULL set (safe for any
+    # subclass) — a new config toggle added to _SALT_FIELDS must land there
+    # too or a subclass relying on the default silently under-salts
+    from nnaudio_tpu.features.base import SpectralTransform
+
+    assert set(SpectralTransform._salt_fields) == valid
 
 
 def test_parallel_chain_toggle_retraces_pyramid():

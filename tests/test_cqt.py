@@ -176,6 +176,72 @@ def test_parallel_chain_matches_serial_early_downsample():
                                rtol=1e-4)
 
 
+def test_cascades_are_derived_not_state():
+    """The composed cascade filters are a pure function of lowpass_filter:
+    never saved as state (pre-cascade snapshots load strict), legacy
+    snapshots that DO carry them are accepted but the cascades are rebuilt
+    from the loaded filter, and persistent lowpass updates re-derive."""
+    layer = features.CQT2010v2(sr=22050, fmin=32.7, n_bins=84,
+                               bins_per_octave=12, hop_length=512,
+                               verbose=False)
+    sd = layer.state_dict()
+    assert not any(k.startswith("lowpass_cascade") for k in sd)
+    assert "lowpass_cascade_2" in layer._derived
+
+    # legacy snapshot (round-4-era format stored cascades as params):
+    # accepted under strict=True, cascades rebuilt — the stored zeros must
+    # NOT survive into the derived state
+    legacy = dict(sd)
+    legacy["lowpass_cascade_2"] = np.zeros_like(
+        np.asarray(layer._derived["lowpass_cascade_2"]))
+    layer.load_state_dict(legacy, strict=True)
+    assert np.abs(np.asarray(layer._derived["lowpass_cascade_2"])).max() > 0
+
+    # pre-cascade snapshot: no missing-keys error
+    layer.load_state_dict(sd, strict=True)
+
+
+def test_parallel_chain_tracks_lowpass_override():
+    """Overriding lowpass_filter (apply-time AND persistently) must keep
+    the parallel chain consistent with the serial chain — the cascades are
+    recomposed from the override, never served stale from init."""
+    from nnaudio_tpu import set_use_parallel_chain
+    from nnaudio_tpu.filters.cqt import create_lowpass_filter
+
+    x = np.random.RandomState(33).randn(1, 22050).astype(np.float32)
+    layer = features.CQT2010v2(sr=22050, fmin=32.7, n_bins=84,
+                               bins_per_octave=12, hop_length=512,
+                               verbose=False)
+    new_fir = create_lowpass_filter(
+        band_center=0.45, kernel_length=256, transition_bandwidth=0.002
+    ).astype(np.float32)
+    override = {"lowpass_filter": new_fir}
+
+    want = np.asarray(layer.apply(override, x))
+    assert np.abs(want - np.asarray(layer(x))).max() > 0  # override bites
+    try:
+        set_use_parallel_chain(True)
+        got = np.asarray(layer.apply(override, x))
+    finally:
+        set_use_parallel_chain(None)
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max(),
+                               rtol=1e-4)
+
+    # persistent update: cascades re-derived in fp64 (vs the apply-time
+    # fp32 in-graph recomposition above — equal to within fp32 rounding)
+    layer.update_params(override)
+    want2 = np.asarray(layer(x))
+    np.testing.assert_allclose(want2, want, atol=2e-5 * np.abs(want).max(),
+                               rtol=1e-4)
+    try:
+        set_use_parallel_chain(True)
+        got2 = np.asarray(layer(x))
+    finally:
+        set_use_parallel_chain(None)
+    np.testing.assert_allclose(got2, want2, atol=2e-5 * np.abs(want2).max(),
+                               rtol=1e-4)
+
+
 def test_parallel_chain_matches_serial_cqt2010():
     from nnaudio_tpu import set_use_parallel_chain
 

@@ -253,6 +253,38 @@ def test_streaming_fuse_override_traces_fused_path(monkeypatch):
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
 
 
+def test_fuse_overrides_synthesis_auto_policy():
+    """StreamingiSTFT's fuse arg must override the SYNTHESIS auto-policy,
+    not just the workload gate: at an aligned fp32 config the auto policy
+    picks XLA, so without the dispatch-level override fuse=True was a
+    silent no-op (round-4 review finding). Explicit config still wins."""
+    from nnaudio_tpu import set_use_pallas_synthesis
+    from nnaudio_tpu.config import get_config
+    from nnaudio_tpu.ops import framed_matmul as fm
+    from nnaudio_tpu.ops.dispatch import (resolve_synthesis_fuse,
+                                          synthesis_auto_fuse)
+
+    cfg = get_config()
+    assert cfg.use_pallas_synthesis is None  # auto
+    # aligned small-overlap fp32: measured auto policy keeps XLA...
+    assert not synthesis_auto_fuse(512, 2048, "highest")
+    assert not resolve_synthesis_fuse(cfg, 512, 2048)
+    # ...but a fuse=True stream forces the kernel
+    with fm.force_fuse(True):
+        assert resolve_synthesis_fuse(cfg, 512, 2048)
+    # misaligned hop: auto says kernel; fuse=False forces XLA
+    assert synthesis_auto_fuse(160, 512, "highest")
+    with fm.force_fuse(False):
+        assert not resolve_synthesis_fuse(cfg, 160, 512)
+    # explicit config outranks the stream's wish
+    try:
+        set_use_pallas_synthesis(False)
+        with fm.force_fuse(True):
+            assert not resolve_synthesis_fuse(get_config(), 512, 2048)
+    finally:
+        set_use_pallas_synthesis(None)
+
+
 def test_streaming_cache_growth_warns():
     n_fft, hop = 512, 128
     s = streaming.StreamingSTFT(n_fft=n_fft, hop_length=hop)
