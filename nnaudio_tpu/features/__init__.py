@@ -16,6 +16,7 @@ from .cqt import CQT, CQT1992, CQT1992v2, CQT2010, CQT2010v2
 from .vqt import VQT
 from .cfp import CFP, Combined_Frequency_Periodicity
 from .griffin_lim import Griffin_Lim
+from .inverse_cqt import GriffinLimCQT
 from .inverse_mel import InverseMelSpectrogram
 # function-level reference API (the reference star-exports its kernel
 # generators through this namespace, features/__init__.py:6-14)
@@ -40,5 +41,6 @@ __all__ = [
     "CFP",
     "Combined_Frequency_Periodicity",
     "Griffin_Lim",
+    "GriffinLimCQT",
     "InverseMelSpectrogram",
 ] + list(_compat_all)

@@ -1,0 +1,168 @@
+"""Inverse CQT (canonical-dual synthesis) and GriffinLimCQT.
+
+Beyond-reference capability (librosa has icqt/griffinlim_cqt, the torch
+reference has no way back from a CQT): acceptance is an fp64 numpy oracle
+for the linear synthesis, time-domain SNR on in-band material at a
+well-overlapped hop, and CQT-domain spectral convergence for the
+magnitude-only loop.
+"""
+import warnings
+
+import jax
+import numpy as np
+import pytest
+
+from nnaudio_tpu import features
+
+
+def _tones(sr=22050, secs=1.0, freqs=(110, 220, 440, 523.25, 660)):
+    t = np.arange(int(sr * secs)) / sr
+    return sum(np.sin(2 * np.pi * f * t + i)
+               for i, f in enumerate(freqs)).astype(np.float32)[None]
+
+
+def _dual_numpy(layer, normalization_type="librosa", eta=1e-3):
+    """fp64 twin of CQT1992v2._dual_kernels."""
+    kr = np.asarray(layer._params["cqt_kernels_real"], np.float64)
+    ki = np.asarray(layer._params["cqt_kernels_imag"], np.float64)
+    s = layer._norm_scale_np(normalization_type)
+    A = s[:, None] * (kr - 1j * ki)
+    B = np.conj(np.fft.fft(np.conj(A), axis=1))
+    G = (np.abs(B) ** 2).sum(0)
+    g0 = G.max() * eta
+    Dh = layer.hop_length * np.conj(B) * (G > g0) / np.maximum(G, g0)
+    return np.fft.ifft(Dh, axis=1)
+
+
+def test_icqt_matches_fp64_numpy_oracle():
+    """The jitted inverse is the same linear operator as an fp64 numpy
+    dual-synthesis OLA (independent implementation of the same math)."""
+    layer = features.CQT1992v2(sr=8000, fmin=100, n_bins=24,
+                               bins_per_octave=12, hop_length=64,
+                               output_format="Complex", verbose=False)
+    rng = np.random.default_rng(0)
+    T = 40
+    X = rng.standard_normal((2, 24, T, 2)).astype(np.float32)
+
+    got = np.asarray(layer.inverse(X))
+
+    d = _dual_numpy(layer)
+    W = layer.kernel_width
+    hop = layer.hop_length
+    Xc = X[..., 0].astype(np.float64) + 1j * X[..., 1].astype(np.float64)
+    z = np.zeros((2, W + hop * (T - 1)), complex)
+    for t in range(T):
+        z[:, t * hop: t * hop + W] += np.einsum("bf,fw->bw", Xc[:, :, t], d)
+    want = 2 * np.real(z)[:, W // 2: -(W // 2)]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("normalization_type", ["librosa", "convolutional",
+                                                "wrap"])
+def test_icqt_roundtrip_snr(normalization_type):
+    """CQT -> inverse reconstructs in-band tones at >40 dB interior SNR
+    when the hop respects the shortest atom (measured ~53 dB)."""
+    sr, hop = 22050, 128
+    x = _tones(sr)
+    layer = features.CQT1992v2(sr=sr, fmin=55, n_bins=48, hop_length=hop,
+                               output_format="Complex", verbose=False)
+    X = layer(x, normalization_type=normalization_type)
+    xr = np.asarray(layer.inverse(X, normalization_type=normalization_type,
+                                  length=x.shape[-1]))
+    core = slice(4096, x.shape[-1] - 4096)
+    err = xr[:, core] - x[:, core]
+    snr = 10 * np.log10((x[:, core] ** 2).sum() / (err ** 2).sum())
+    assert snr > 40, snr
+
+
+def test_icqt_warns_on_undersampled_hop():
+    """Default config (hop 512, 84 bins): the shortest atom is ~94 samples,
+    so the top-octave envelopes are under-sampled — warn (the information
+    loss is the operator's, a least-squares solve converges to the same
+    quality)."""
+    layer = features.CQT1992v2(sr=22050, hop_length=512, n_bins=84,
+                               output_format="Complex", verbose=False)
+    X = layer(_tones())
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        layer.inverse(X)
+    assert any("under-sampled" in str(x.message) for x in w)
+
+
+def test_icqt_rejects_magnitude_input():
+    layer = features.CQT1992v2(sr=8000, fmin=100, n_bins=24, hop_length=64,
+                               verbose=False)
+    with pytest.raises(AssertionError):
+        layer.inverse(np.zeros((1, 24, 10), np.float32))
+
+
+def test_icqt_grad_flows():
+    """Gradients flow through the inverse (synthesis_ola's custom VJP)."""
+    layer = features.CQT1992v2(sr=8000, fmin=100, n_bins=24, hop_length=64,
+                               output_format="Complex", verbose=False)
+    X = np.random.default_rng(1).standard_normal((1, 24, 8, 2)).astype(
+        np.float32)
+
+    g = jax.grad(lambda Xv: layer.inverse(Xv).sum())(X)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_dual_cache_invalidated_on_param_update():
+    """The dual kernels are derived from the bank: persistently updating
+    the kernels must clear the cache so inverse() rebuilds them."""
+    layer = features.CQT1992v2(sr=8000, fmin=100, n_bins=24, hop_length=64,
+                               output_format="Complex", verbose=False)
+    layer._dual_kernels("librosa", 1e-3)
+    assert layer._dual_cache
+    layer.update_params(
+        {"cqt_kernels_real": layer._params["cqt_kernels_real"] * 2.0})
+    assert not layer._dual_cache
+
+
+def test_griffinlim_cqt_spectral_convergence():
+    """Magnitude-only inversion: 32 momentum iterations reach CQT-domain
+    spectral convergence comparable to the STFT Griffin-Lim (measured
+    0.119), and iterating must beat the zero-iteration start."""
+    sr, hop = 22050, 128
+    x = _tones(sr)
+    cqt = features.CQT1992v2(sr=sr, fmin=55, n_bins=48, hop_length=hop,
+                             output_format="Magnitude", verbose=False)
+    S = np.asarray(cqt(x))
+
+    def rel(n_iter):
+        gl = features.GriffinLimCQT(sr=sr, fmin=55, n_bins=48,
+                                    hop_length=hop, n_iter=n_iter,
+                                    verbose=False)
+        xr = np.asarray(gl(S, key=jax.random.PRNGKey(1),
+                           length=x.shape[-1]))
+        S2 = np.asarray(cqt(xr))
+        m = min(S.shape[2], S2.shape[2])
+        return (np.linalg.norm(S2[:, :, :m] - S[:, :, :m])
+                / np.linalg.norm(S))
+
+    r32 = rel(32)
+    assert r32 < 0.2, r32
+    assert r32 < rel(0) * 0.5
+
+
+def test_griffinlim_cqt_iter_precision_highest():
+    """The fp32-iteration variant reaches the same spectral convergence
+    (fixed-point projection: per-iteration rounding does not accumulate)."""
+    sr, hop = 22050, 128
+    x = _tones(sr, secs=0.5)
+    cqt = features.CQT1992v2(sr=sr, fmin=55, n_bins=48, hop_length=hop,
+                             output_format="Magnitude", verbose=False)
+    S = np.asarray(cqt(x))
+    outs = {}
+    for prec in ("default", "highest"):
+        gl = features.GriffinLimCQT(sr=sr, fmin=55, n_bins=48,
+                                    hop_length=hop, n_iter=16,
+                                    iter_precision=prec, verbose=False)
+        xr = np.asarray(gl(S, key=jax.random.PRNGKey(2)))
+        S2 = np.asarray(cqt(xr))
+        m = min(S.shape[2], S2.shape[2])
+        outs[prec] = (np.linalg.norm(S2[:, :, :m] - S[:, :, :m])
+                      / np.linalg.norm(S))
+    assert abs(outs["default"] - outs["highest"]) < 0.05, outs

@@ -244,6 +244,31 @@ def main():
         check("real_audio_mel_vs_frozen_reference", False,
               f"MISSING {gt} — regenerate with tools/make_audio_fixture.py")
 
+    # inverse CQT (canonical-dual synthesis) + magnitude-only GL-CQT
+    t_ax = np.arange(22050) / 22050
+    tones = sum(np.sin(2 * np.pi * fq * t_ax + i)
+                for i, fq in enumerate([110, 220, 440, 660])
+                ).astype(np.float32)[None]
+    icq = features.CQT1992v2(sr=22050, fmin=55, n_bins=48, hop_length=128,
+                             output_format="Complex", verbose=False)
+    xr = np.asarray(icq.inverse(icq(tones), length=tones.shape[-1]))
+    core = slice(4096, tones.shape[-1] - 4096)
+    snr = 10 * np.log10(((tones[:, core] ** 2).sum()
+                         / ((xr[:, core] - tones[:, core]) ** 2).sum()))
+    check("icqt_roundtrip_snr", snr > 40, f"snr={snr:.1f}dB")
+
+    glc = features.GriffinLimCQT(sr=22050, fmin=55, n_bins=48,
+                                 hop_length=128, n_iter=32, verbose=False)
+    Smag = np.asarray(icq(tones, output_format="Magnitude"))
+    xg = np.asarray(glc(Smag, key=jax.random.PRNGKey(1),
+                        length=tones.shape[-1]))
+    S2 = np.asarray(icq(xg, output_format="Magnitude"))
+    m = min(Smag.shape[2], S2.shape[2])
+    rel = (np.linalg.norm(S2[:, :, :m] - Smag[:, :, :m])
+           / np.linalg.norm(Smag))
+    check("griffinlim_cqt_spectral_convergence", rel < 0.2,
+          f"rel={rel:.3f}")
+
     # checkpoint round-trip (npz)
     import tempfile
 
