@@ -285,6 +285,48 @@ def test_fuse_overrides_synthesis_auto_policy():
         set_use_pallas_synthesis(None)
 
 
+def test_streaming_inverse_cqt_matches_offline():
+    """StreamingInverseCQT: concat(steps..., flush()) equals the offline
+    center=False dual-synthesis inverse EXACTLY (OLA is linear and there is
+    no envelope carry), and pairing it with StreamingCQT closes the online
+    analyze->resynthesize loop."""
+    sr, hop = 22050, 128
+    kw = dict(sr=sr, fmin=55, n_bins=48, hop_length=hop)
+    off = features.CQT1992v2(center=False, output_format="Complex",
+                             verbose=False, **kw)
+    x = np.random.RandomState(7).randn(2, hop * 160).astype(np.float32)
+    X = np.asarray(off(x))
+    want = np.asarray(off.inverse(X))
+
+    sinv = streaming.StreamingInverseCQT(verbose=False, **kw)
+    state = sinv.init_state(2)
+    outs = []
+    T = X.shape[2]
+    for a in range(0, T, 5):
+        state, out = sinv.step(state, X[:, :, a:min(a + 5, T)])
+        outs.append(np.asarray(out))
+    outs.append(np.asarray(sinv.flush(state)))
+    got = np.concatenate(outs, axis=-1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+    # closed loop: streaming analysis feeding streaming synthesis
+    scqt = streaming.StreamingCQT(output_format="Complex", verbose=False,
+                                  **kw)
+    a_state = scqt.init_state(2)
+    s_state = sinv.init_state(2)
+    pieces = []
+    for pos in range(0, x.shape[-1], hop * 16):
+        a_state, frames = scqt.step(a_state, x[:, pos:pos + hop * 16])
+        if frames.shape[2]:
+            s_state, out = sinv.step(s_state, frames)
+            pieces.append(np.asarray(out))
+    pieces.append(np.asarray(sinv.flush(s_state)))
+    loop = np.concatenate(pieces, axis=-1)
+    np.testing.assert_allclose(loop, want[:, :loop.shape[-1]],
+                               atol=1e-5 * np.abs(want).max())
+
+
 def test_streaming_cache_growth_warns():
     n_fft, hop = 512, 128
     s = streaming.StreamingSTFT(n_fft=n_fft, hop_length=hop)

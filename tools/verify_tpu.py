@@ -257,6 +257,25 @@ def main():
                          / ((xr[:, core] - tones[:, core]) ** 2).sum()))
     check("icqt_roundtrip_snr", snr > 40, f"snr={snr:.1f}dB")
 
+    from nnaudio_tpu.streaming import StreamingInverseCQT
+
+    off48 = features.CQT1992v2(sr=22050, fmin=55, n_bins=48, hop_length=128,
+                               center=False, output_format="Complex",
+                               verbose=False)
+    Xs = off48(tones[:, :128 * 80])
+    want_s = np.asarray(off48.inverse(Xs))
+    sicq = StreamingInverseCQT(sr=22050, fmin=55, n_bins=48, hop_length=128,
+                               verbose=False)
+    st_s = sicq.init_state(1)
+    parts = []
+    for a in range(0, Xs.shape[2], 7):
+        st_s, o = sicq.step(st_s, Xs[:, :, a:a + 7])
+        parts.append(np.asarray(o))
+    parts.append(np.asarray(sicq.flush(st_s)))
+    got_s = np.concatenate(parts, axis=-1)
+    rel = np.abs(got_s - want_s).max() / max(np.abs(want_s).max(), 1e-12)
+    check("streaming_icqt_vs_offline", rel < 1e-5, f"rel_err={rel:.2e}")
+
     glc = features.GriffinLimCQT(sr=22050, fmin=55, n_bins=48,
                                  hop_length=128, n_iter=32, verbose=False)
     Smag = np.asarray(icq(tones, output_format="Magnitude"))
