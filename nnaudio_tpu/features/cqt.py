@@ -571,6 +571,12 @@ class _PyramidCQT(SpectralTransform):
     _salt_fields = ("matmul_precision", "use_pallas", "use_fused_pyramid",
                     "use_parallel_chain")
 
+    def __init__(self):
+        super().__init__()
+        #: lazily-built pyramid dual-synthesis kernels for inverse(),
+        #: keyed (normalization_type, band_eta); cleared on any param change
+        self._dual_cache: dict = {}
+
     def _init_pyramid(
         self,
         sr,
@@ -646,6 +652,9 @@ class _PyramidCQT(SpectralTransform):
         return Q, sr, n_filters
 
     def _refresh_derived(self, changed):
+        # any persistent param change invalidates the inverse's dual bank
+        # (it is a function of the kernels, the chain filters AND lenghts)
+        self._dual_cache.clear()
         # fp64 recomposition whenever the base FIR changes persistently
         # (init, update_params, load_state_dict) — including legacy
         # snapshots that stored the cascades: they are accepted by
@@ -668,6 +677,146 @@ class _PyramidCQT(SpectralTransform):
                     merged["lowpass_filter"], k
                 )
         return merged
+
+    # ------------------------------------------------------------ inverse --
+    def _inverse_atoms(self):
+        """Per-level complex analysis atoms ``A`` (``X_level = x_level·A``)
+        and per-level center pads — subclass hook for the pyramid inverse."""
+        raise NotImplementedError
+
+    def _inverse_scale(self, normalization_type):
+        """Per-bin output scale of the forward (fp64 numpy). Default: the
+        CQT2010v2/VQT convention (downsample_factor fold plus the
+        normalization-type scale); CQT2010 overrides (reference parity: no
+        factor fold, 1/n_fft on librosa/wrap)."""
+        F = float(self.downsample_factor)
+        if normalization_type == "librosa":
+            return F * np.sqrt(np.asarray(self._params["lenghts"],
+                                          np.float64))
+        if normalization_type == "wrap":
+            return np.full(self.n_bins, 2.0 * F)
+        return np.full(self.n_bins, F)
+
+    def _pyramid_dual_kernels(self, normalization_type, band_eta):
+        """Canonical-dual synthesis bank for the WHOLE pyramid, built by
+        collapsing the multirate analysis to a single-rate frame: octave
+        ``j`` analyzes the 2^j-decimated signal at hop ``hop/2^j``, which
+        in original-rate terms is a frame at the ORIGINAL hop whose
+        effective atom is ``H_j ∗ ↑2^j A_f`` (the composed decimation
+        cascade convolved with the zero-stuffed bank atom), shifted by the
+        accumulated pads ``c_j = 2^j·P_j + p(2^j−1)`` (+ the early-downsample
+        stage when active). One dual construction over the embedded
+        effective bank then inverts every octave at once — same math and
+        η-regularization as ``CQT1992v2._dual_kernels``."""
+        cached = self._dual_cache.get((normalization_type, band_eta))
+        if cached is not None:
+            return cached
+        from scipy.signal import fftconvolve
+
+        level_atoms, level_pads = self._inverse_atoms()
+        lowpass = np.asarray(self._params["lowpass_filter"], np.float64)
+        p = self._lowpass_pad
+        early = self.earlydownsample
+        F = int(self.downsample_factor) if early else 1
+        eff, offs = [], []
+        for j in range(self.n_octaves):
+            A = level_atoms[j]
+            if j == 0:
+                e, c = A, int(level_pads[0])
+            else:
+                H = compose_cascade(lowpass, j)
+                up = np.zeros((A.shape[0], (A.shape[1] - 1) * 2 ** j + 1),
+                              np.complex128)
+                up[:, :: 2 ** j] = A
+                e = fftconvolve(up, H[None, :], mode="full", axes=1)
+                c = 2 ** j * int(level_pads[j]) + p * (2 ** j - 1)
+            if early:
+                Ef = np.asarray(self._params["early_downsample_filter"],
+                                np.float64)
+                up = np.zeros((e.shape[0], (e.shape[1] - 1) * F + 1),
+                              np.complex128)
+                up[:, ::F] = e
+                e = fftconvolve(up, Ef[None, :], mode="full", axes=1)
+                c = F * c + (Ef.shape[-1] - 1) // 2
+            eff.append(e)
+            offs.append(c)
+        hop_top = self.hop_length * F
+        C = max(offs)
+        w_eff = max(C - c + e.shape[1] for e, c in zip(eff, offs))
+        rows = []  # deepest octave first, matching the forward's concat
+        for j in reversed(range(self.n_octaves)):
+            full = np.zeros((eff[j].shape[0], w_eff), np.complex128)
+            start = C - offs[j]
+            full[:, start: start + eff[j].shape[1]] = eff[j]
+            rows.append(full)
+        atoms = np.concatenate(rows, axis=0)[-self.n_bins:]
+        atoms = atoms * self._inverse_scale(normalization_type)[:, None]
+
+        B = np.conj(np.fft.fft(np.conj(atoms), axis=1))
+        G = (np.abs(B) ** 2).sum(0)
+        g0 = G.max() * band_eta
+        Dh = hop_top * np.conj(B) * (G > g0) / np.maximum(G, g0)
+        d = np.fft.ifft(Dh, axis=1)
+        out = (jnp.asarray(2.0 * d.real, jnp.float32),
+               jnp.asarray(2.0 * d.imag, jnp.float32), C, hop_top)
+        self._dual_cache[(normalization_type, band_eta)] = out
+        return out
+
+    def _inverse_graph(self, X, kc, ks, start, hop_top, length):
+        from ..ops.dispatch import synthesis_ola
+
+        out = synthesis_ola(X[..., 0], X[..., 1], kc, ks, hop_top)
+        natural = hop_top * (X.shape[2] - 1)
+        want = natural if length is None else length
+        out = out[:, start: start + want]
+        if out.shape[-1] < want:
+            out = jnp.pad(out, ((0, 0), (0, want - out.shape[-1])))
+        return out
+
+    def inverse(self, X, normalization_type="librosa", length=None,
+                band_eta=1e-3):
+        """Approximate inverse for the multi-octave pyramid families
+        (beyond-reference; the librosa ``icqt`` analog for CQT2010v2/VQT).
+
+        Takes ``Complex``-format output ``(B, n_bins, T, 2)`` produced with
+        the same ``normalization_type``. The whole multirate pyramid is
+        collapsed into ONE single-rate dual-synthesis matmul+OLA (see
+        :meth:`_pyramid_dual_kernels`); the reconstruction is at the
+        ORIGINAL sample rate even when early downsampling was active (the
+        early FIR is part of the composed atoms). Same quality contract as
+        ``CQT1992v2.inverse``: keep the (post-early-downsample) hop at or
+        below half the shortest atom or the top octave aliases (warned).
+        Interior-exact up to the per-stage edge effects of the serial
+        decimation chain (≤127 samples per level edge)."""
+        X = jnp.asarray(X)
+        if X.ndim != 4 or X.shape[-1] != 2:
+            raise AssertionError(
+                "inverse expects Complex format (batch, n_bins, time, 2)"
+            )
+        _check_norm_type(normalization_type)
+        lmin = float(np.asarray(self._params["lenghts"]).min())
+        if self.hop_length > lmin / 2:
+            warnings.warn(
+                f"inverse CQT: hop_length={self.hop_length} (post early "
+                f"downsampling) exceeds half the shortest atom ({lmin:.0f});"
+                " top-octave envelopes are under-sampled and reconstruction "
+                "quality degrades — use a smaller hop or fewer top bins"
+            )
+        import functools
+
+        from ..config import cache_salt
+
+        kc, ks, start, hop_top = self._pyramid_dual_kernels(
+            normalization_type, band_eta)
+        key = ("inverse", normalization_type, band_eta, length, X.shape,
+               cache_salt(self._salt_fields + ("use_pallas_synthesis",)))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                self._inverse_graph, start=start, hop_top=hop_top,
+                length=length))
+            self._jit_cache[key] = fn
+        return fn(X, kc, ks)
 
     def _pyramid_chain(self, params, x):
         """Downsampled signal + hop per octave, top octave first — the chain
@@ -943,6 +1092,28 @@ class CQT2010(_PyramidCQT):
             normalization_type=normalization_type,
         )
 
+    def _inverse_atoms(self):
+        # the composed frozen basis carries the UN-negated convention
+        # (utils.py:548-559): X = x·Cr + i·(x·Ci), so the atom is Cr + i·Ci
+        if "combined_real" not in self._params:
+            raise NotImplementedError(
+                "CQT2010.inverse needs the frozen composed basis "
+                "(trainable=False)")
+        cr = np.asarray(self._params["combined_real"], np.float64)
+        ci = np.asarray(self._params["combined_imag"], np.float64)
+        return ([cr + 1j * ci] * self.n_octaves,
+                [self.n_fft // 2] * self.n_octaves)
+
+    def _inverse_scale(self, normalization_type):
+        # reference parity quirks of this legacy class: no downsample_factor
+        # fold, and the 1/n_fft Fourier-stage normalization on librosa/wrap
+        if normalization_type == "librosa":
+            return (np.sqrt(np.asarray(self._params["lenghts"], np.float64))
+                    / self.n_fft)
+        if normalization_type == "wrap":
+            return np.full(self.n_bins, 2.0 / self.n_fft)
+        return np.ones(self.n_bins)
+
     def extra_repr(self) -> str:
         return "STFT kernel size = {}, CQT kernel size = {}".format(
             tuple(self._params["wcos"].shape),
@@ -1100,6 +1271,15 @@ class CQT2010v2(_PyramidCQT):
             None, x, output_format=output_format or self.output_format,
             normalization_type=normalization_type,
         )
+
+    def _inverse_atoms(self):
+        # every octave reuses the shared top-octave time-domain bank; the
+        # per-octave conv negates the imag (utils.py:518-519), so the atom
+        # is Kr − i·Ki — the same convention as CQT1992v2
+        kr = np.asarray(self._params["cqt_kernels_real"], np.float64)
+        ki = np.asarray(self._params["cqt_kernels_imag"], np.float64)
+        return ([kr - 1j * ki] * self.n_octaves,
+                [self.n_fft // 2] * self.n_octaves)
 
     def extra_repr(self) -> str:
         return "CQT kernel size = {}, octaves = {}, trainable = {}".format(

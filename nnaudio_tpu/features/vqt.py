@@ -217,6 +217,19 @@ class VQT(_PyramidCQT):
             normalization_type=normalization_type,
         )
 
+    def _inverse_atoms(self):
+        # per-octave banks (γ widens deep-octave bandwidths, so each level
+        # has its own kernels and width); imag negated at the conv, so the
+        # atom is Kr − i·Ki per level
+        import numpy as np
+
+        atoms = []
+        for i in range(self.n_octaves):
+            kr = np.asarray(self._params[f"cqt_kernels_real_{i}"], np.float64)
+            ki = np.asarray(self._params[f"cqt_kernels_imag_{i}"], np.float64)
+            atoms.append(kr - 1j * ki)
+        return atoms, [w // 2 for w in self._octave_widths]
+
     def extra_repr(self) -> str:
         return "VQT octaves = {}, gamma = {}, widths = {}".format(
             self.n_octaves, self.gamma, self._octave_widths

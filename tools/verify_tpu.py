@@ -257,6 +257,15 @@ def main():
                          / ((xr[:, core] - tones[:, core]) ** 2).sum()))
     check("icqt_roundtrip_snr", snr > 40, f"snr={snr:.1f}dB")
 
+    ipyr = features.CQT2010v2(sr=22050, fmin=55, n_bins=48,
+                              bins_per_octave=12, hop_length=128,
+                              earlydownsample=False,
+                              output_format="Complex", verbose=False)
+    xrp = np.asarray(ipyr.inverse(ipyr(tones), length=tones.shape[-1]))
+    snr = 10 * np.log10(((tones[:, core] ** 2).sum()
+                         / ((xrp[:, core] - tones[:, core]) ** 2).sum()))
+    check("icqt_pyramid_roundtrip_snr", snr > 40, f"snr={snr:.1f}dB")
+
     from nnaudio_tpu.streaming import StreamingInverseCQT
 
     off48 = features.CQT1992v2(sr=22050, fmin=55, n_bins=48, hop_length=128,
