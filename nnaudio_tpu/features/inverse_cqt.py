@@ -56,6 +56,11 @@ class GriffinLimCQT(SpectralTransform):
         ``Griffin_Lim`` (a fixed-point projection re-imposes the target
         magnitudes every iteration, so bf16 multiplies cost no SNR;
         never raises precision above the ambient config).
+    family : {'1992v2', '2010v2', 'vqt'}
+        Which CQT the magnitudes came from. The pyramid families iterate
+        the full multirate forward against the collapsed single-rate dual
+        synthesis (``_PyramidCQT._pyramid_dual_kernels``); extra ctor
+        arguments (``gamma``, ``earlydownsample``, ...) pass through.
     verbose : bool
         Print kernel-construction info. Default ``True``.
 
@@ -92,7 +97,9 @@ class GriffinLimCQT(SpectralTransform):
         normalization_type: str = "librosa",
         band_eta: float = 1e-3,
         iter_precision: str = "default",
+        family: str = "1992v2",
         verbose: bool = True,
+        **family_kwargs,
     ):
         super().__init__()
         if iter_precision not in ("default", "highest"):
@@ -104,41 +111,69 @@ class GriffinLimCQT(SpectralTransform):
         self.hop_length = hop_length
         self.pad_mode = pad_mode
         self.normalization_type = normalization_type
+        self.family = family
 
-        self._cqt = CQT1992v2(
-            sr=sr, hop_length=hop_length, fmin=fmin, fmax=fmax,
-            n_bins=n_bins, bins_per_octave=bins_per_octave,
-            filter_scale=filter_scale, norm=norm, window=window,
-            center=True, pad_mode=pad_mode, output_format="Complex",
-            verbose=verbose,
-        )
+        common = dict(sr=sr, hop_length=hop_length, fmin=fmin, fmax=fmax,
+                      n_bins=n_bins, bins_per_octave=bins_per_octave,
+                      filter_scale=filter_scale, output_format="Complex",
+                      verbose=verbose, pad_mode=pad_mode, **family_kwargs)
+        if family == "1992v2":
+            self._cqt = CQT1992v2(norm=norm, window=window, center=True,
+                                  **common)
+        elif family in ("2010v2", "vqt"):
+            # the pyramid classes take `norm` as a bool and `basis_norm`
+            # as the Lp construction norm; window is fixed by the bank
+            from .cqt import CQT2010v2
+            from .vqt import VQT
+
+            cls = CQT2010v2 if family == "2010v2" else VQT
+            self._cqt = cls(basis_norm=norm, window=window, **common)
+            # the loop reads the pyramid-path config switches at trace time
+            self._salt_fields = ("matmul_precision", "use_pallas",
+                                 "use_pallas_synthesis", "use_fused_pyramid",
+                                 "use_parallel_chain")
+        else:
+            raise ValueError(
+                f"unknown family {family!r}: '1992v2', '2010v2' or 'vqt'")
         self._params.update(self._cqt._params)
-        self.kernel_width = self._cqt.kernel_width
-        self.pad_amount = self.kernel_width // 2
+
         # the dual synthesis kernels and the analysis normalization scale
         # are pure functions of the (frozen) bank — built once, fp64
-        kc, ks = self._cqt._dual_kernels(normalization_type, band_eta)
-        self._dual_kc, self._dual_ks = kc, ks
-        self._ascale = jnp.asarray(
-            self._cqt._norm_scale_np(normalization_type), jnp.float32)
+        if family == "1992v2":
+            self.kernel_width = self._cqt.kernel_width
+            self.pad_amount = self.kernel_width // 2
+            kc, ks = self._cqt._dual_kernels(normalization_type, band_eta)
+            self._dual_kc, self._dual_ks = kc, ks
+            self._ascale = jnp.asarray(
+                self._cqt._norm_scale_np(normalization_type), jnp.float32)
+            self._hop_syn = hop_length
+        else:
+            kc, ks, start, hop_top = self._cqt._pyramid_dual_kernels(
+                normalization_type, band_eta)
+            self._dual_kc, self._dual_ks = kc, ks
+            self._syn_start = start
+            self._hop_syn = hop_top
         lmin = float(np.asarray(self._params["lenghts"]).min())
-        if hop_length > lmin / 2:
+        if self._cqt.hop_length > lmin / 2:
             import warnings
 
             warnings.warn(
-                f"GriffinLimCQT: hop_length={hop_length} exceeds half the "
-                f"shortest atom ({lmin:.0f}); top-octave envelopes are "
-                "under-sampled and reconstruction quality degrades — use a "
-                "smaller hop or fewer top bins"
+                f"GriffinLimCQT: hop_length={self._cqt.hop_length} exceeds "
+                f"half the shortest atom ({lmin:.0f}); top-octave envelopes "
+                "are under-sampled and reconstruction quality degrades — "
+                "use a smaller hop or fewer top bins"
             )
 
     # --------------------------------------------------------------- graph --
     def _synthesize(self, c_re, c_im, t):
-        """Dual synthesis + center trim: (B, F, T) carries -> (B, hop*(T-1))."""
+        """Dual synthesis + trim: (B, F, T) carries -> (B, hop_syn*(T-1))."""
         sig = synthesis_ola(c_re, c_im, self._dual_kc, self._dual_ks,
-                            self.hop_length)
-        len_full = self.kernel_width + self.hop_length * (t - 1)
-        return sig[:, self.pad_amount: len_full - self.pad_amount]
+                            self._hop_syn)
+        if self.family == "1992v2":
+            len_full = self.kernel_width + self._hop_syn * (t - 1)
+            return sig[:, self.pad_amount: len_full - self.pad_amount]
+        return sig[:, self._syn_start: self._syn_start
+                   + self._hop_syn * (t - 1)]
 
     def _forward(self, params, S, key=None):
         from ..config import get_config, set_matmul_precision
@@ -149,13 +184,27 @@ class GriffinLimCQT(SpectralTransform):
         rand_phase = jax.random.normal(key, (b, f, t))
         mom = self.momentum / (1 + self.momentum)
 
-        # analysis kernels with the normalization folded in: the loop's
-        # re-analysis must reproduce the Complex forward's convention
-        # (X = σ(x·Kr) − i·σ(x·Ki)) so the carries stay in the same frame
-        # as the dual synthesis kernels
-        s = self._ascale[:, None]
-        akr = params["cqt_kernels_real"] * s
-        aki = params["cqt_kernels_imag"] * s
+        # the loop's re-analysis must reproduce the Complex forward's
+        # convention so the carries stay in the same frame as the dual
+        # synthesis kernels. 1992v2: one basis pair with the normalization
+        # folded into the kernels (planar, no stack). Pyramid families:
+        # the full (jit-clean) pyramid forward, split back to planar.
+        if self.family == "1992v2":
+            s = self._ascale[:, None]
+            akr = params["cqt_kernels_real"] * s
+            aki = params["cqt_kernels_imag"] * s
+
+            def analyze(sig):
+                sig = pad_signal(sig, self.pad_amount, self.pad_mode)
+                r_re, r_im_raw = framed_basis_pair(sig, akr, aki,
+                                                   self.hop_length)
+                return r_re, -r_im_raw
+        else:
+            def analyze(sig):
+                C = self._cqt._forward(
+                    params, sig, output_format="Complex",
+                    normalization_type=self.normalization_type)
+                return C[..., 0], C[..., 1]
 
         cfg = get_config()
         prev = cfg.matmul_precision
@@ -169,10 +218,7 @@ class GriffinLimCQT(SpectralTransform):
         def body(_, carry):
             c_re, c_im, p_re, p_im = carry
             inverse = self._synthesize(c_re, c_im, t)
-            inverse = pad_signal(inverse, self.pad_amount, self.pad_mode)
-            r_re, r_im_raw = framed_basis_pair(inverse, akr, aki,
-                                               self.hop_length)
-            r_im = -r_im_raw
+            r_re, r_im = analyze(inverse)
             n_re = r_re - mom * p_re.astype(jnp.float32)
             n_im = r_im - mom * p_im.astype(jnp.float32)
             scale = S * jax.lax.rsqrt(n_re * n_re + n_im * n_im + 1e-32)
