@@ -104,41 +104,50 @@ def main():
                 rows.append(row)
                 print(json.dumps(row), flush=True)
 
-    # streaming iSTFT: frame chunks
+    # synthesis duals: frame chunks in, samples out
     import jax
 
     n_fft, hop = 512, 160
-    for chunk_sec in chunk_secs:
-        t = max(1, int(round(chunk_sec * sr / hop)))
-        for fuse in fuse_opts:
-            s = streaming.StreamingiSTFT(n_fft=n_fft, hop_length=hop,
-                                         fuse=fuse)
-            X = jax.device_put(np.random.RandomState(1)
-                               .randn(1, n_fft // 2 + 1, t, 2)
-                               .astype(np.float32))
-            state = s.init_state(1)
-            for _ in range(6):
-                state, out = s.step(state, X)
-            jax.block_until_ready(out)
-            lats = []
-            for _ in range(32):
-                t0 = time.perf_counter()
-                state, out = s.step(state, X)
+    syn_classes = [
+        ("StreamingiSTFT", lambda fuse: streaming.StreamingiSTFT(
+            n_fft=n_fft, hop_length=hop, fuse=fuse), n_fft // 2 + 1),
+        # inversion-friendly bank (hop <= shortest atom / 2 at 16 kHz)
+        ("StreamingInverseCQT", lambda fuse: streaming.StreamingInverseCQT(
+            sr=sr, hop_length=hop, fmin=55, n_bins=48, bins_per_octave=12,
+            fuse=fuse), 48),
+    ]
+    for syn_name, syn_make, f_bins in syn_classes:
+        for chunk_sec in chunk_secs:
+            t = max(1, int(round(chunk_sec * sr / hop)))
+            for fuse in fuse_opts:
+                s = syn_make(fuse)
+                X = jax.device_put(np.random.RandomState(1)
+                                   .randn(1, f_bins, t, 2)
+                                   .astype(np.float32))
+                state = s.init_state(1)
+                for _ in range(6):
+                    state, out = s.step(state, X)
                 jax.block_until_ready(out)
-                lats.append((time.perf_counter() - t0) * 1e3)
-            t0 = time.perf_counter()
-            outs = []
-            for _ in range(32):
-                state, out = s.step(state, X)
-                outs.append(out)
-            jax.block_until_ready(outs)
-            wall = time.perf_counter() - t0
-            row = dict(cls="StreamingiSTFT", fuse=fuse,
-                       chunk_ms=1e3 * t * hop / sr,
-                       lat_ms=round(statistics.median(lats), 3),
-                       rtf=round(32 * t * hop / sr / wall, 1), chunk_len=t)
-            rows.append(row)
-            print(json.dumps(row), flush=True)
+                lats = []
+                for _ in range(32):
+                    t0 = time.perf_counter()
+                    state, out = s.step(state, X)
+                    jax.block_until_ready(out)
+                    lats.append((time.perf_counter() - t0) * 1e3)
+                t0 = time.perf_counter()
+                outs = []
+                for _ in range(32):
+                    state, out = s.step(state, X)
+                    outs.append(out)
+                jax.block_until_ready(outs)
+                wall = time.perf_counter() - t0
+                row = dict(cls=syn_name, fuse=fuse,
+                           chunk_ms=1e3 * t * hop / sr,
+                           lat_ms=round(statistics.median(lats), 3),
+                           rtf=round(32 * t * hop / sr / wall, 1),
+                           chunk_len=t)
+                rows.append(row)
+                print(json.dumps(row), flush=True)
 
     # markdown table for RESULTS.md
     print("\n| class | chunk (ms) | fuse | lat (ms) | RTF |")
