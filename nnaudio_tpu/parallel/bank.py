@@ -174,3 +174,82 @@ def contraction_sharded_cqt1992(transform, mesh: Mesh, axis: str = "model",
         )
 
     return run
+
+
+def bank_sharded_inverse(transform, mesh: Mesh, axis: str = "model",
+                         data_axis: str = "data",
+                         normalization_type: str = "librosa",
+                         band_eta: float = 1e-3, length: int | None = None):
+    """Tensor-parallel inverse CQT: the canonical-dual synthesis bank's
+    rows (bins) sharded over ``axis``, the batch over ``data_axis``. Each
+    chip OLA-synthesizes its bins' contribution to the waveform and the
+    partial signals are ``psum``-reduced over ICI — synthesis is the
+    transpose of the analysis contraction, so where the forward's row
+    sharding is reduction-free, the inverse's needs exactly one psum of
+    a (B_local, L) signal per call.
+
+    Works for every transform with an inverse: CQT1992v2 (flat dual bank)
+    and the pyramid families (collapsed single-rate dual bank,
+    ``_PyramidCQT._pyramid_dual_kernels``)."""
+    import jax.numpy as jnp
+    from jax import lax, shard_map
+
+    from ..features.cqt import _check_norm_type
+
+    _check_norm_type(normalization_type)
+    if hasattr(transform, "_dual_kernels"):  # CQT1992v2 / CQT alias
+        kc, ks = transform._dual_kernels(normalization_type, band_eta)
+        hop = transform.hop_length
+        start = transform.kernel_width // 2 if transform.center else 0
+
+        def natural(t):
+            full = transform.kernel_width + hop * (t - 1)
+            return full - 2 * start
+    else:  # pyramid families
+        kc, ks, start, hop = transform._pyramid_dual_kernels(
+            normalization_type, band_eta)
+
+        def natural(t):
+            return hop * (t - 1)
+
+    n = mesh.shape[axis]
+    f_pad = -kc.shape[0] % n
+    if f_pad:
+        # zero dual rows synthesize nothing — pad the bin axis to a
+        # shardable size, exactly
+        kc = jnp.pad(kc, ((0, f_pad), (0, 0)))
+        ks = jnp.pad(ks, ((0, f_pad), (0, 0)))
+
+    def local(Xr, Xi, kc_l, ks_l):
+        from ..ops.dispatch import synthesis_ola
+
+        sig = synthesis_ola(Xr, Xi, kc_l, ks_l, hop)
+        return lax.psum(sig, axis)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(data_axis, axis, None), P(data_axis, axis, None),
+                  P(axis, None), P(axis, None)),
+        out_specs=P(data_axis),
+    )
+
+    def graph(Xr, Xi):
+        t = Xr.shape[2]
+        sig = fn(Xr, Xi, kc, ks)
+        want = natural(t) if length is None else length
+        out = sig[:, start: start + want]
+        if out.shape[-1] < want:
+            out = jnp.pad(out, ((0, 0), (0, want - out.shape[-1])))
+        return out
+
+    jitted = jax.jit(graph)
+
+    def run(X):
+        import jax.numpy as jnp
+
+        X = jnp.asarray(X)
+        if f_pad:
+            X = jnp.pad(X, ((0, 0), (0, f_pad), (0, 0), (0, 0)))
+        return jitted(X[..., 0], X[..., 1])
+
+    return run

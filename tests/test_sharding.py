@@ -507,3 +507,26 @@ def test_streaming_step_under_batch_sharding(mesh8):
     want, got = run(False), run(True)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-6 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("family", ["1992v2", "2010v2"])
+def test_bank_sharded_inverse_matches_single_device(mesh24, family):
+    """TP inverse CQT: dual-bank rows over `model`, batch over `data`,
+    partial signals psum-reduced — equals the single-device inverse."""
+    from nnaudio_tpu.parallel.bank import bank_sharded_inverse
+
+    if family == "1992v2":
+        layer = features.CQT1992v2(sr=22050, fmin=55, n_bins=48,
+                                   hop_length=128, output_format="Complex",
+                                   verbose=False)
+    else:
+        layer = features.CQT2010v2(sr=22050, fmin=55, n_bins=48,
+                                   bins_per_octave=12, hop_length=128,
+                                   earlydownsample=False,
+                                   output_format="Complex", verbose=False)
+    x = np.random.RandomState(9).randn(4, 8192).astype(np.float32)
+    X = layer(x)
+    want = np.asarray(layer.inverse(X))
+    got = np.asarray(bank_sharded_inverse(layer, mesh24)(X))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
