@@ -50,8 +50,18 @@ class SpectralTransform:
 
     @property
     def params(self) -> dict[str, jax.Array]:
-        """All parameters (frozen buffers and trainable kernels alike)."""
+        """All parameters (frozen buffers and trainable kernels alike).
+        State only — derived arrays are excluded (see
+        :attr:`forward_params`)."""
         return dict(self._params)
+
+    @property
+    def forward_params(self) -> dict[str, jax.Array]:
+        """Everything the jitted ``_forward`` consumes: state parameters
+        plus the derived (recomputed, never-saved) arrays. External callers
+        that build a params pytree for ``_forward`` directly (e.g. the
+        ``parallel`` wrappers) must use this, not :attr:`params`."""
+        return {**self._params, **self._derived}
 
     def trainable_params(self) -> dict[str, jax.Array]:
         """The subset of :attr:`params` marked trainable — feed to jax.grad

@@ -90,6 +90,22 @@ def _dual_synthesis_bank(atoms: np.ndarray, hop: int, band_eta: float):
             jnp.asarray(2.0 * d.imag, jnp.float32))
 
 
+def _warn_undersampled_hop(hop: int, lengths, context: str) -> None:
+    """One warning for every inverse entry point: when ``hop`` exceeds half
+    the shortest analysis atom, the top-octave subband envelopes are
+    sampled below their bandwidth and the information loss is the FORWARD
+    operator's (a CG least-squares solve converges to the same quality) —
+    no inverse can recover it."""
+    lmin = float(np.min(np.asarray(lengths)))
+    if hop > lmin / 2:
+        warnings.warn(
+            f"{context}: hop_length={hop} exceeds half the shortest atom "
+            f"({lmin:.0f}); top-octave envelopes are under-sampled and "
+            "reconstruction quality degrades — use a smaller hop or fewer "
+            "top bins"
+        )
+
+
 def _check_norm_type(normalization_type: str):
     if normalization_type not in ("librosa", "convolutional", "wrap"):
         raise ValueError(
@@ -526,14 +542,8 @@ class CQT1992v2(SpectralTransform):
                 "for magnitude CQTs use GriffinLimCQT."
             )
         _check_norm_type(normalization_type)
-        lmin = float(np.asarray(self._params["lenghts"]).min())
-        if self.hop_length > lmin / 2:
-            warnings.warn(
-                f"inverse CQT: hop_length={self.hop_length} exceeds half "
-                f"the shortest atom ({lmin:.0f}); top-octave envelopes are "
-                "under-sampled and reconstruction quality degrades — use a "
-                "smaller hop or fewer top bins"
-            )
+        _warn_undersampled_hop(self.hop_length, self._params["lenghts"],
+                               "inverse CQT")
         import functools
 
         from ..config import cache_salt
@@ -797,14 +807,8 @@ class _PyramidCQT(SpectralTransform):
                 "inverse expects Complex format (batch, n_bins, time, 2)"
             )
         _check_norm_type(normalization_type)
-        lmin = float(np.asarray(self._params["lenghts"]).min())
-        if self.hop_length > lmin / 2:
-            warnings.warn(
-                f"inverse CQT: hop_length={self.hop_length} (post early "
-                f"downsampling) exceeds half the shortest atom ({lmin:.0f});"
-                " top-octave envelopes are under-sampled and reconstruction "
-                "quality degrades — use a smaller hop or fewer top bins"
-            )
+        _warn_undersampled_hop(self.hop_length, self._params["lenghts"],
+                               "inverse CQT (post early downsampling)")
         import functools
 
         from ..config import cache_salt

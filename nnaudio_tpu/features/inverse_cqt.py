@@ -136,33 +136,55 @@ class GriffinLimCQT(SpectralTransform):
             raise ValueError(
                 f"unknown family {family!r}: '1992v2', '2010v2' or 'vqt'")
         self._params.update(self._cqt._params)
+        self._band_eta = band_eta
+        self._rebuild_duals()
+        from .cqt import _warn_undersampled_hop
 
-        # the dual synthesis kernels and the analysis normalization scale
-        # are pure functions of the (frozen) bank — built once, fp64
-        if family == "1992v2":
+        _warn_undersampled_hop(self._cqt.hop_length,
+                               self._params["lenghts"], "GriffinLimCQT")
+
+    def _rebuild_duals(self):
+        """(Re)build the synthesis duals + analysis scale from the inner
+        transform's CURRENT kernels, mirror its derived arrays (the pyramid
+        cascades, consumed by the in-loop forward), and drop compiled steps
+        that captured the old duals as closure constants."""
+        self._derived = dict(self._cqt._derived)
+        if self.family == "1992v2":
             self.kernel_width = self._cqt.kernel_width
             self.pad_amount = self.kernel_width // 2
-            kc, ks = self._cqt._dual_kernels(normalization_type, band_eta)
+            kc, ks = self._cqt._dual_kernels(self.normalization_type,
+                                             self._band_eta)
             self._dual_kc, self._dual_ks = kc, ks
             self._ascale = jnp.asarray(
-                self._cqt._norm_scale_np(normalization_type), jnp.float32)
-            self._hop_syn = hop_length
+                self._cqt._norm_scale_np(self.normalization_type),
+                jnp.float32)
+            self._hop_syn = self._cqt.hop_length
         else:
             kc, ks, start, hop_top = self._cqt._pyramid_dual_kernels(
-                normalization_type, band_eta)
+                self.normalization_type, self._band_eta)
             self._dual_kc, self._dual_ks = kc, ks
             self._syn_start = start
             self._hop_syn = hop_top
-        lmin = float(np.asarray(self._params["lenghts"]).min())
-        if self._cqt.hop_length > lmin / 2:
-            import warnings
+        self._jit_cache.clear()
 
-            warnings.warn(
-                f"GriffinLimCQT: hop_length={self._cqt.hop_length} exceeds "
-                f"half the shortest atom ({lmin:.0f}); top-octave envelopes "
-                "are under-sampled and reconstruction quality degrades — "
-                "use a smaller hop or fewer top bins"
-            )
+    def _refresh_derived(self, changed):
+        # a persistent kernel update must reach BOTH halves of the fixed
+        # point: push shared keys into the inner transform (clearing its
+        # dual caches / recomposing its cascades) and rebuild this loop's
+        # synthesis duals — otherwise analysis (merged params) and
+        # synthesis (init-time duals) silently desynchronize
+        if not changed:
+            return
+        shared = {k: self._params[k] for k in changed
+                  if k in self._cqt._params}
+        if shared:
+            self._cqt.update_params(shared)
+        self._rebuild_duals()
+
+    def _rederive(self, merged, overridden):
+        # apply-time overrides flow to the inner transform's derivation
+        # rules (e.g. in-graph cascade recomposition for the pyramid chain)
+        return self._cqt._rederive(merged, overridden)
 
     # --------------------------------------------------------------- graph --
     def _synthesize(self, c_re, c_im, t):
@@ -249,8 +271,10 @@ class GriffinLimCQT(SpectralTransform):
 
     def apply(self, params, S, key=None):
         merged = dict(self._params)
+        merged.update(self._derived)
         if params:
             merged.update(params)
+            merged = self._rederive(merged, frozenset(params))
         S = jnp.asarray(S)
         if S.ndim != 3:
             raise AssertionError(

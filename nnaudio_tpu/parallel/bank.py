@@ -59,7 +59,7 @@ def bank_sharded_apply(transform, mesh: Mesh, **static_kwargs):
         k: NamedSharding(mesh, _param_spec(k, v.ndim))
         if not (_param_spec(k, v.ndim) != P() and v.shape[0] % mesh.shape["model"])
         else replicate(mesh)
-        for k, v in transform._params.items()
+        for k, v in transform.forward_params.items()
     }
     fwd = jax.jit(
         functools.partial(transform._forward, **static_kwargs),
@@ -67,7 +67,7 @@ def bank_sharded_apply(transform, mesh: Mesh, **static_kwargs):
     )
 
     def run(x, params=None):
-        merged = dict(transform._params)
+        merged = dict(transform.forward_params)
         if params:
             merged.update(params)
         merged = {k: jax.device_put(v, param_shardings[k]) for k, v in merged.items()}

@@ -47,7 +47,7 @@ def data_parallel(transform, mesh: Mesh, **static_kwargs) -> Any:
     )
 
     def run(x, params=None):
-        merged = dict(transform._params)
+        merged = dict(transform.forward_params)
         if params:
             merged.update(params)
         merged = jax.device_put(merged, replicate(mesh))

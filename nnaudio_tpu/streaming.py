@@ -609,8 +609,10 @@ class StreamingInverseCQT:
                  window="hann", normalization_type: str = "librosa",
                  band_eta: float = 1e-3, verbose: bool = False,
                  fuse: bool | None = None):
-        from .features.cqt import CQT1992v2
+        from .features.cqt import (CQT1992v2, _check_norm_type,
+                                   _warn_undersampled_hop)
 
+        _check_norm_type(normalization_type)
         self.fuse = fuse
         self._cache_warned = False
         cqt = CQT1992v2(sr=sr, hop_length=hop_length, fmin=fmin, fmax=fmax,
@@ -624,15 +626,8 @@ class StreamingInverseCQT:
         if self.hop > self.kernel_width:
             raise ValueError("hop_length > kernel_width has gaps; cannot "
                              "stream")
-        lmin = float(jnp.min(cqt._params["lenghts"]))
-        if hop_length > lmin / 2:
-            import warnings
-
-            warnings.warn(
-                f"StreamingInverseCQT: hop_length={hop_length} exceeds half "
-                f"the shortest atom ({lmin:.0f}); reconstruction quality "
-                "degrades (see CQT1992v2.inverse)"
-            )
+        _warn_undersampled_hop(hop_length, cqt._params["lenghts"],
+                               "StreamingInverseCQT")
         self._kc, self._ks = cqt._dual_kernels(normalization_type, band_eta)
         self._jit_cache: dict = {}
 
@@ -648,6 +643,10 @@ class StreamingInverseCQT:
         """``X``: (B, n_bins, T, 2) Complex CQT frames (T >= 1); returns
         ``(new_state, samples)`` with ``samples`` shaped (B, T*hop)."""
         X = jnp.asarray(X)
+        if X.ndim != 4 or X.shape[-1] != 2:
+            raise ValueError(
+                "step expects Complex format (batch, n_bins, time, 2); for "
+                "magnitude CQTs use features.GriffinLimCQT (offline)")
         b, f, t = X.shape[0], X.shape[1], X.shape[2]
         if f != self.n_bins:
             raise ValueError(f"expected {self.n_bins} bins, got {f}")

@@ -284,3 +284,64 @@ def test_griffinlim_cqt_pyramid_families(family, extra):
 def test_griffinlim_cqt_rejects_unknown_family():
     with pytest.raises(ValueError):
         features.GriffinLimCQT(family="2010", verbose=False)
+
+
+def test_griffinlim_cqt_pyramid_under_parallel_chain():
+    """Regression (round-4 review): the pyramid cascades moved to derived
+    state; GriffinLimCQT.apply must still feed them to the in-loop pyramid
+    forward when use_parallel_chain is on (it salts on that toggle)."""
+    from nnaudio_tpu import set_use_parallel_chain
+
+    sr, hop = 22050, 128
+    x = _tones(sr, secs=0.5, freqs=(110, 220, 440))
+    cqt = features.CQT2010v2(sr=sr, fmin=55, n_bins=48, bins_per_octave=12,
+                             hop_length=hop, earlydownsample=False,
+                             output_format="Magnitude", verbose=False)
+    S = np.asarray(cqt(x))
+    gl = features.GriffinLimCQT(sr=sr, fmin=55, n_bins=48,
+                                bins_per_octave=12, hop_length=hop,
+                                family="2010v2", earlydownsample=False,
+                                n_iter=4, verbose=False)
+    try:
+        set_use_parallel_chain(True)
+        xr = np.asarray(gl(S, key=jax.random.PRNGKey(0)))
+    finally:
+        set_use_parallel_chain(None)
+    assert np.isfinite(xr).all()
+
+
+def test_griffinlim_cqt_update_params_rebuilds_duals():
+    """Regression (round-4 review): a persistent kernel update must reach
+    BOTH halves of the fixed point — the merged analysis params AND the
+    synthesis duals (plus drop compiled steps that captured the old ones)."""
+    gl = features.GriffinLimCQT(sr=8000, fmin=100, n_bins=24, hop_length=64,
+                                n_iter=2, verbose=False)
+    # enough frames that the synthesized signal exceeds the in-loop
+    # reflect pad (kernel_width//2)
+    S = np.abs(np.random.default_rng(0).standard_normal(
+        (1, 24, 24))).astype(np.float32)
+    gl(S)  # populate the jit cache
+    old_kc = np.asarray(gl._dual_kc).copy()
+    assert gl._jit_cache
+    gl.update_params(
+        {"cqt_kernels_real": gl._params["cqt_kernels_real"] * 2.0})
+    assert not gl._jit_cache  # compiled steps captured the old duals
+    assert np.abs(np.asarray(gl._dual_kc) - old_kc).max() > 0
+    # inner transform stayed in lock-step
+    np.testing.assert_array_equal(
+        np.asarray(gl._cqt._params["cqt_kernels_real"]),
+        np.asarray(gl._params["cqt_kernels_real"]))
+
+
+def test_streaming_inverse_cqt_validates_inputs():
+    from nnaudio_tpu import streaming
+
+    with pytest.raises(ValueError):
+        streaming.StreamingInverseCQT(sr=22050, fmin=55, n_bins=48,
+                                      hop_length=128,
+                                      normalization_type="Librosa",
+                                      verbose=False)
+    s = streaming.StreamingInverseCQT(sr=22050, fmin=55, n_bins=48,
+                                      hop_length=128, verbose=False)
+    with pytest.raises(ValueError):
+        s.step(s.init_state(1), np.zeros((1, 48, 4), np.float32))

@@ -530,3 +530,28 @@ def test_bank_sharded_inverse_matches_single_device(mesh24, family):
     got = np.asarray(bank_sharded_inverse(layer, mesh24)(X))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5 * np.abs(want).max())
+
+
+def test_parallel_wrappers_feed_derived_params(mesh24):
+    """Regression (round-4 review): data_parallel / bank_sharded_apply must
+    build the forward dict from forward_params (state + derived cascades) —
+    the pyramid's parallel chain reads the derived cascade filters."""
+    from nnaudio_tpu import set_use_parallel_chain
+    from nnaudio_tpu.parallel.bank import bank_sharded_apply
+    from nnaudio_tpu.parallel.data import data_parallel
+
+    layer = features.CQT2010v2(sr=22050, fmin=32.7, n_bins=84,
+                               bins_per_octave=12, hop_length=512,
+                               verbose=False)
+    x = np.random.RandomState(11).randn(4, 22050).astype(np.float32)
+    want = np.asarray(layer(x))
+    try:
+        set_use_parallel_chain(True)
+        got_dp = np.asarray(data_parallel(layer, mesh24)(x))
+        got_tp = np.asarray(bank_sharded_apply(layer, mesh24)(x))
+    finally:
+        set_use_parallel_chain(None)
+    np.testing.assert_allclose(got_dp, want, atol=2e-5 * np.abs(want).max(),
+                               rtol=1e-4)
+    np.testing.assert_allclose(got_tp, want, atol=2e-5 * np.abs(want).max(),
+                               rtol=1e-4)
