@@ -114,7 +114,94 @@ def _check_norm_type(normalization_type: str):
         )
 
 
-class CQT1992(SpectralTransform):
+class _FlatCQTInverse:
+    """Mixin: canonical-dual inverse for the single-rate (flat-bank) CQT
+    classes. The host class provides ``_inverse_atoms_flat(norm_type)``
+    (the scaled complex analysis atoms such that ``X = x·A``), plus
+    ``hop_length`` / ``kernel_width`` / ``center`` and a ``_dual_cache``
+    dict initialized in ``__init__``."""
+
+    def _dual_kernels(self, normalization_type, band_eta):
+        """Canonical-dual synthesis kernels (fp64 at build, cached); the
+        dual math and its η-regularization rationale live in
+        :func:`_dual_synthesis_bank`."""
+        cached = self._dual_cache.get((normalization_type, band_eta))
+        if cached is not None:
+            return cached
+        kc, ks = _dual_synthesis_bank(
+            self._inverse_atoms_flat(normalization_type),
+            self.hop_length, band_eta)
+        self._dual_cache[(normalization_type, band_eta)] = (kc, ks)
+        return kc, ks
+
+    def _refresh_derived(self, changed):
+        # the dual bank is a function of the kernels AND lenghts — any
+        # persistent param change invalidates it
+        self._dual_cache.clear()
+
+    def _inverse(self, X, kc, ks, length=None):
+        from ..ops.dispatch import synthesis_ola
+
+        # frames_t[s] = 2·Re{Σ_f X[f,t]·d_f[s]} = Σ_f (2dr·Xr − 2di·Xi):
+        # exactly OLA(kc^T Xr − ks^T Xi), the existing fused synthesis op
+        out = synthesis_ola(X[..., 0], X[..., 1], kc, ks, self.hop_length)
+        if self.center:
+            pad = self.kernel_width // 2
+            out = out[:, pad: out.shape[-1] - pad]
+        if length is not None:
+            out = out[:, :length]
+            if out.shape[-1] < length:
+                out = jnp.pad(out, ((0, 0), (0, length - out.shape[-1])))
+        return out
+
+    def inverse(self, X, normalization_type="librosa", length=None,
+                band_eta=1e-3):
+        """Approximate inverse CQT (beyond-reference; librosa has ``icqt``,
+        the reference has no way back from a CQT).
+
+        Takes ``Complex``-format output ``(B, n_bins, T, 2)`` produced with
+        the same ``normalization_type`` and reconstructs a waveform with
+        canonical-dual synthesis atoms (see :meth:`_dual_kernels`): one
+        fused matmul+OLA (ops/dispatch.synthesis_ola), measured 30-53 dB
+        SNR on in-band material at well-overlapped hops.
+
+        Two fundamental (operator, not implementation) limits: energy
+        outside the covered band (fmin..fmin·2^(n_bins/bins_per_octave))
+        was never captured by the forward; and the top-octave subbands are
+        sampled at ``sr/hop`` — if ``hop`` exceeds half the SHORTEST atom
+        (``lenghts.min()/2``) their envelopes alias irrecoverably (a
+        least-squares CG solve was prototyped and converges to the same
+        ~6 dB at hop=512/84 bins: the information is gone). A warning
+        fires in that regime; the fix is a smaller hop or fewer top bins.
+
+        Uses the FROZEN stored kernels (like ``STFT.inverse``); ``length``
+        trims/pads the output. For magnitude-only inversion use
+        :class:`~nnaudio_tpu.features.inverse_cqt.GriffinLimCQT`.
+        """
+        X = jnp.asarray(X)
+        if X.ndim != 4 or X.shape[-1] != 2:
+            raise AssertionError(
+                "inverse expects Complex format (batch, n_bins, time, 2); "
+                "for magnitude CQTs use GriffinLimCQT."
+            )
+        _check_norm_type(normalization_type)
+        _warn_undersampled_hop(self.hop_length, self._params["lenghts"],
+                               "inverse CQT")
+        import functools
+
+        from ..config import cache_salt
+
+        key = ("inverse", normalization_type, band_eta, length, X.shape,
+               cache_salt(self._salt_fields + ("use_pallas_synthesis",)))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._inverse, length=length))
+            self._jit_cache[key] = fn
+        kc, ks = self._dual_kernels(normalization_type, band_eta)
+        return fn(X, kc, ks)
+
+
+class CQT1992(_FlatCQTInverse, SpectralTransform):
     """Original Brown–Puckette constant-Q transform: a rectangular-window
     Fourier stage followed by a frequency-domain complex matmul with FFT'd
     CQT kernels (reference ``cqt.py:9-256``). When neither stage is
@@ -209,6 +296,7 @@ class CQT1992(SpectralTransform):
         self.pad_mode = pad_mode
         self.output_format = output_format
         self.trainable = trainable_STFT or trainable_CQT
+        self._dual_cache: dict = {}
 
         Q = float(filter_scale) / (2 ** (1 / bins_per_octave) - 1)
         bank = create_cqt_kernels(
@@ -299,6 +387,26 @@ class CQT1992(SpectralTransform):
             normalization_type=normalization_type,
         )
 
+    def _norm_scale_np(self, normalization_type):
+        n = self._params["lenghts"].shape[0]
+        if normalization_type == "librosa":
+            return (np.sqrt(np.asarray(self._params["lenghts"], np.float64))
+                    / self.kernel_width)
+        if normalization_type == "wrap":
+            return np.full((n,), 2.0 / self.kernel_width)
+        return np.ones((n,))
+
+    def _inverse_atoms_flat(self, normalization_type):
+        # the composed frozen basis keeps the negated-imag Complex
+        # convention (real_n, -cqt_imag above): X = σ(x·Cr) − i·σ(x·Ci)
+        if "combined_real" not in self._params:
+            raise NotImplementedError(
+                "CQT1992.inverse needs the frozen composed basis "
+                "(trainable_STFT=trainable_CQT=False)")
+        cr = np.asarray(self._params["combined_real"], np.float64)
+        ci = np.asarray(self._params["combined_imag"], np.float64)
+        return self._norm_scale_np(normalization_type)[:, None] * (cr - 1j * ci)
+
     def extra_repr(self) -> str:
         return "STFT kernel size = {}, CQT kernel size = {}".format(
             tuple(self._params["wcos"].shape),
@@ -306,7 +414,7 @@ class CQT1992(SpectralTransform):
         )
 
 
-class CQT1992v2(SpectralTransform):
+class CQT1992v2(_FlatCQTInverse, SpectralTransform):
     """Direct time-domain constant-Q transform: one framed matmul of the
     signal against complex log-spaced wavelets (reference ``cqt.py:561-802``;
     this is what the :class:`CQT` alias resolves to). On TPU the Magnitude
@@ -475,87 +583,12 @@ class CQT1992v2(SpectralTransform):
             return np.full((self._params["cqt_kernels_real"].shape[0],), 2.0)
         return np.ones((self._params["cqt_kernels_real"].shape[0],))
 
-    def _dual_kernels(self, normalization_type, band_eta):
-        """Canonical-dual synthesis kernels (fp64 at build, cached): the
-        analysis atom is ``A_f = σ_f(Kr_f − i·Ki_f)`` (the ``Complex``
-        convention above: ``X = σ(x·Kr) − i·σ(x·Ki)``); the dual math and
-        its η-regularization rationale live in
-        :func:`_dual_synthesis_bank`."""
-        cached = self._dual_cache.get((normalization_type, band_eta))
-        if cached is not None:
-            return cached
+    def _inverse_atoms_flat(self, normalization_type):
+        # time-domain bank with the negated-imag convention:
+        # X = σ(x·Kr) − i·σ(x·Ki) ⇒ A = σ(Kr − i·Ki)
         kr = np.asarray(self._params["cqt_kernels_real"], np.float64)
         ki = np.asarray(self._params["cqt_kernels_imag"], np.float64)
-        s = self._norm_scale_np(normalization_type)
-        kc, ks = _dual_synthesis_bank(s[:, None] * (kr - 1j * ki),
-                                      self.hop_length, band_eta)
-        self._dual_cache[(normalization_type, band_eta)] = (kc, ks)
-        return kc, ks
-
-    def _refresh_derived(self, changed):
-        if changed & {"cqt_kernels_real", "cqt_kernels_imag", "lenghts"}:
-            self._dual_cache.clear()
-
-    def _inverse(self, X, kc, ks, length=None):
-        from ..ops.dispatch import synthesis_ola
-
-        # frames_t[s] = 2·Re{Σ_f X[f,t]·d_f[s]} = Σ_f (2dr·Xr − 2di·Xi):
-        # exactly OLA(kc^T Xr − ks^T Xi), the existing fused synthesis op
-        out = synthesis_ola(X[..., 0], X[..., 1], kc, ks, self.hop_length)
-        if self.center:
-            pad = self.kernel_width // 2
-            out = out[:, pad: out.shape[-1] - pad]
-        if length is not None:
-            out = out[:, :length]
-            if out.shape[-1] < length:
-                out = jnp.pad(out, ((0, 0), (0, length - out.shape[-1])))
-        return out
-
-    def inverse(self, X, normalization_type="librosa", length=None,
-                band_eta=1e-3):
-        """Approximate inverse CQT (beyond-reference; librosa has ``icqt``,
-        the reference has no way back from a CQT).
-
-        Takes ``Complex``-format output ``(B, n_bins, T, 2)`` produced with
-        the same ``normalization_type`` and reconstructs a waveform with
-        canonical-dual synthesis atoms (see :meth:`_dual_kernels`): one
-        fused matmul+OLA (ops/dispatch.synthesis_ola), measured 30-53 dB
-        SNR on in-band material at well-overlapped hops.
-
-        Two fundamental (operator, not implementation) limits: energy
-        outside the covered band (fmin..fmin·2^(n_bins/bins_per_octave))
-        was never captured by the forward; and the top-octave subbands are
-        sampled at ``sr/hop`` — if ``hop`` exceeds half the SHORTEST atom
-        (``lenghts.min()/2``) their envelopes alias irrecoverably (a
-        least-squares CG solve was prototyped and converges to the same
-        ~6 dB at hop=512/84 bins: the information is gone). A warning
-        fires in that regime; the fix is a smaller hop or fewer top bins.
-
-        Uses the FROZEN stored kernels (like ``STFT.inverse``); ``length``
-        trims/pads the output. For magnitude-only inversion use
-        :class:`~nnaudio_tpu.features.inverse_cqt.GriffinLimCQT`.
-        """
-        X = jnp.asarray(X)
-        if X.ndim != 4 or X.shape[-1] != 2:
-            raise AssertionError(
-                "inverse expects Complex format (batch, n_bins, time, 2); "
-                "for magnitude CQTs use GriffinLimCQT."
-            )
-        _check_norm_type(normalization_type)
-        _warn_undersampled_hop(self.hop_length, self._params["lenghts"],
-                               "inverse CQT")
-        import functools
-
-        from ..config import cache_salt
-
-        key = ("inverse", normalization_type, band_eta, length, X.shape,
-               cache_salt(self._salt_fields + ("use_pallas_synthesis",)))
-        fn = self._jit_cache.get(key)
-        if fn is None:
-            fn = jax.jit(functools.partial(self._inverse, length=length))
-            self._jit_cache[key] = fn
-        kc, ks = self._dual_kernels(normalization_type, band_eta)
-        return fn(X, kc, ks)
+        return self._norm_scale_np(normalization_type)[:, None] * (kr - 1j * ki)
 
     def forward_manual(self, x):
         """Debug path matching cqt.py:782-802: un-negated imag, magnitude

@@ -345,3 +345,24 @@ def test_streaming_inverse_cqt_validates_inputs():
                                       hop_length=128, verbose=False)
     with pytest.raises(ValueError):
         s.step(s.init_state(1), np.zeros((1, 48, 4), np.float32))
+
+
+def test_icqt_1992_composed_basis_roundtrip_snr():
+    """CQT1992 (frequency-domain class, frozen composed basis with the
+    1/kernel_width normalization): measured ~52 dB — every CQT class now
+    inverts through the shared _FlatCQTInverse/_PyramidCQT machinery."""
+    sr = 22050
+    x = _tones(sr, freqs=(110, 220, 440, 660))
+    layer = features.CQT1992(sr=sr, fmin=55, n_bins=48, hop_length=128,
+                             output_format="Complex")
+    X = layer(x)
+    xr = np.asarray(layer.inverse(X, length=x.shape[-1]))
+    assert _snr(xr, x) > 40, _snr(xr, x)
+
+
+def test_icqt_1992_trainable_raises():
+    layer = features.CQT1992(sr=8000, fmin=100, n_bins=24, hop_length=64,
+                             output_format="Complex", trainable_CQT=True)
+    X = np.zeros((1, 24, 30, 2), np.float32)
+    with pytest.raises(NotImplementedError):
+        layer.inverse(X)
