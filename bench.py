@@ -205,6 +205,26 @@ def tpu_metrics() -> dict[str, dict]:
     out["inverse_mel"] = _thr(_timeit(
         lambda MM, k: inv._forward(ivp, MM, k), mel_in, iters=2, extra=key))
 
+    # inverse CQT (beyond-reference): one canonical-dual matmul+OLA, at an
+    # inversion-friendly bank (hop <= shortest-atom/2)
+    icq = features.CQT1992v2(sr=SR, hop_length=128, fmin=55, n_bins=48,
+                             output_format="Complex", verbose=False)
+    icqp = dict(icq._params)
+    Xc = jax.device_put(np.asarray(icq._forward(
+        icqp, x, output_format="Complex", normalization_type="librosa")))
+    ikc, iks = icq._dual_kernels("librosa", 1e-3)
+    out["icqt"] = _thr(_timeit(
+        lambda XX: icq._inverse(XX, ikc, iks, length=LENGTH), Xc, iters=4))
+
+    # magnitude-only CQT inversion: 32 GL iterations over the same bank
+    glc = features.GriffinLimCQT(sr=SR, hop_length=128, fmin=55, n_bins=48,
+                                 n_iter=32, verbose=False)
+    glcp = dict(glc.forward_params)
+    Smag = jax.device_put(np.asarray(
+        jnp.sqrt(Xc[..., 0] ** 2 + Xc[..., 1] ** 2)))
+    out["griffinlim_cqt"] = _thr(_timeit(
+        lambda SS, k: glc._forward(glcp, SS, k), Smag, iters=2, extra=key))
+
     # trainable end-to-end step: STFT basis + linear head under jax.grad
     stt = features.STFT(n_fft=N_FFT, hop_length=HOP,
                         output_format="Magnitude", trainable=True,
@@ -483,6 +503,8 @@ NAMES = {
     "istft": "istft_throughput_n2048_h512",
     "griffin_lim": "griffin_lim_throughput_32iters",
     "inverse_mel": "inverse_mel_throughput_64nnls_32gl",
+    "icqt": "icqt_cqt1992v2_throughput_48bins_h128",
+    "griffinlim_cqt": "griffinlim_cqt_throughput_48bins_32iters",
     "train_step": "trainable_stft_train_step_throughput",
     "train_step_fast": "trainable_stft_train_step_fast_bf16_throughput",
     "train_step_cqt": "trainable_cqt1992v2_train_step_throughput",

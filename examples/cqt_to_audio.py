@@ -28,6 +28,16 @@ err = xr[:, core] - x[:, core]
 print("icqt SNR: %.1f dB"
       % (10 * np.log10((x[:, core] ** 2).sum() / (err ** 2).sum())))
 
+# pyramid CQT -> audio: the multirate pyramid collapses into one
+# single-rate dual bank (reconstruction at the original rate)
+pyr = features.CQT2010v2(sr=sr, fmin=55, n_bins=48, hop_length=hop,
+                         earlydownsample=False, output_format="Complex",
+                         verbose=False)
+xp = np.asarray(pyr.inverse(pyr(x), length=x.shape[-1]))
+errp = xp[:, core] - x[:, core]
+print("icqt (CQT2010v2 pyramid) SNR: %.1f dB"
+      % (10 * np.log10((x[:, core] ** 2).sum() / (errp ** 2).sum())))
+
 # magnitude CQT -> audio: Griffin-Lim over the CQT frame
 S = cqt(x, output_format="Magnitude")
 gl = features.GriffinLimCQT(sr=sr, fmin=55, n_bins=48, hop_length=hop,
