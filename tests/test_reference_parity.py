@@ -331,3 +331,18 @@ def test_mel_fmin_fmax_window_parity(ref, torchmod):
     theirs = ref.MelSpectrogram(verbose=False, **kw)
     close(np.asarray(ours(SIG)),
           theirs(torchmod.tensor(SIG)).detach().numpy())
+
+
+def test_cqt1992v2_gaussian_tuple_window_parity(ref, torchmod):
+    """Tuple window spec ('gaussian', att_db) — the reference resolves it
+    through its own attenuation->sigma formula (utils.py get_window_dispatch);
+    ours must match bit-for-bit at kernel level."""
+    from nnaudio_tpu import features
+
+    kw = dict(sr=16000, fmin=110, n_bins=48, bins_per_octave=12,
+              hop_length=256, window=("gaussian", 50))
+    ours = features.CQT1992v2(verbose=False, **kw)
+    theirs = ref.CQT1992v2(verbose=False, **kw)
+    got = np.asarray(ours(SIG, output_format="Magnitude"))
+    want = theirs(torchmod.tensor(SIG)).numpy()
+    close(got, want)
