@@ -17,7 +17,7 @@ from .vqt import VQT
 from .cfp import CFP, Combined_Frequency_Periodicity
 from .griffin_lim import Griffin_Lim
 from .inverse_cqt import GriffinLimCQT
-from .inverse_mel import InverseMelSpectrogram
+from .inverse_mel import InverseMelSpectrogram, InverseMFCC
 # function-level reference API (the reference star-exports its kernel
 # generators through this namespace, features/__init__.py:6-14)
 from ..compat import *  # noqa: F401,F403
@@ -43,4 +43,5 @@ __all__ = [
     "Griffin_Lim",
     "GriffinLimCQT",
     "InverseMelSpectrogram",
+    "InverseMFCC",
 ] + list(_compat_all)

@@ -172,3 +172,116 @@ class InverseMelSpectrogram(SpectralTransform):
     def extra_repr(self) -> str:
         return (f"mel basis = {tuple(self._params['mel_basis'].shape)}, "
                 f"nnls_iters = {self.n_iter_nnls}")
+
+
+class InverseMFCC(SpectralTransform):
+    """MFCC → waveform: inverse DCT (the librosa ``mfcc_to_mel`` /
+    ``mfcc_to_audio`` analog) feeding :class:`InverseMelSpectrogram` —
+    with this, every composite in the package (STFT, Mel, MFCC, the CQT
+    family) has a way back to audio.
+
+    The DCT stage is exactly invertible only in the coefficients kept:
+    with ``norm='ortho'`` the basis is orthonormal, so zero-padding the
+    ``n_mfcc`` coefficients back to ``n_mels`` and applying the transpose
+    is the least-squares inverse (higher mel cepstral detail is smoothed
+    away, as in librosa). The dB stage inverts exactly
+    (``mel = ref·10^(db/10)``); an MFCC produced with a ``top_db`` clamp
+    is NOT faithfully invertible below the clamp — produce the input with
+    ``MFCC(top_db=None)`` for best reconstruction (librosa's mfcc has no
+    clamp, so this matches its contract).
+
+    Parameters mirror :class:`~nnaudio_tpu.features.mel.MFCC` (analysis
+    side) plus :class:`InverseMelSpectrogram`'s iteration counts.
+
+    Examples
+    --------
+    >>> mf = MFCC(sr=22050, n_mfcc=20, top_db=None, n_fft=1024, n_mels=80)
+    >>> inv = InverseMFCC(sr=22050, n_mfcc=20, n_fft=1024, n_mels=80)
+    >>> audio = inv(mf(x), key=jax.random.PRNGKey(0))
+    """
+
+    _salt_fields = ("matmul_precision", "use_pallas", "use_pallas_synthesis")
+
+    def __init__(
+        self,
+        sr: float = 22050,
+        n_mfcc: int = 20,
+        norm: str = "ortho",
+        ref: float = 1.0,
+        n_fft: int = 2048,
+        n_mels: int = 128,
+        hop_length: int = 512,
+        window: str = "hann",
+        fmin: float = 0.0,
+        fmax: float | None = None,
+        htk: bool = False,
+        mel_norm=1,
+        power: float = 2.0,
+        n_iter_nnls: int = 64,
+        n_iter: int = 32,
+        center: bool = True,
+        pad_mode: str = "reflect",
+        momentum: float = 0.99,
+        iter_precision: str = "default",
+        verbose: bool = True,
+    ):
+        from ..filters.mel import dct_matrix
+
+        super().__init__()
+        if norm != "ortho":
+            raise ValueError(
+                "InverseMFCC requires norm='ortho': only the orthonormal "
+                "DCT-II inverts by its transpose")
+        self.n_mfcc = n_mfcc
+        self.ref = abs(float(ref))
+        self.inverse_mel = InverseMelSpectrogram(
+            sr=sr, n_fft=n_fft, n_mels=n_mels, hop_length=hop_length,
+            window=window, fmin=fmin, fmax=fmax, htk=htk, norm=mel_norm,
+            power=power, n_iter_nnls=n_iter_nnls, n_iter=n_iter,
+            center=center, pad_mode=pad_mode, momentum=momentum,
+            iter_precision=iter_precision, verbose=verbose,
+        )
+        self._params.update(self.inverse_mel._params)
+        self._register("dct_basis", dct_matrix(n_mels, n_mels, norm=norm))
+
+    def mfcc_to_mel(self, params, mfcc):
+        """Least-squares inverse of the MFCC's DCT+crop and dB stages:
+        zero-pad the coefficients to ``n_mels``, apply the orthonormal
+        transpose, then ``mel = ref·10^(db/10)``."""
+        prec = dot_precision()
+        n_mels = params["dct_basis"].shape[0]
+        padded = jnp.pad(mfcc, ((0, 0), (0, n_mels - mfcc.shape[1]), (0, 0)))
+        db = jnp.einsum("kf,bkt->bft", params["dct_basis"], padded,
+                        precision=prec, preferred_element_type=jnp.float32)
+        return jnp.asarray(self.ref, db.dtype) * 10.0 ** (db / 10.0)
+
+    def _forward(self, params, mfcc, key=None):
+        mel = self.mfcc_to_mel(params, mfcc)
+        return self.inverse_mel._forward(params, mel, key=key)
+
+    def __call__(self, mfcc, key=None):
+        return self.apply(None, mfcc, key=key)
+
+    def apply(self, params, mfcc, key=None):
+        merged = dict(self._params)
+        if params:
+            merged.update(params)
+        mfcc = jnp.asarray(mfcc)
+        if mfcc.ndim != 3 or mfcc.shape[1] > merged["dct_basis"].shape[0]:
+            raise AssertionError(
+                "Please make sure your input is in the shape of "
+                "(batch, n_mfcc, timesteps) with n_mfcc <= n_mels"
+            )
+        from ..config import cache_salt
+
+        cache_key = ("invmfcc", cache_salt(self._salt_fields))
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(self._forward)
+            self._jit_cache[cache_key] = fn
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return fn(merged, mfcc, key)
+
+    def extra_repr(self) -> str:
+        return f"n_mfcc = {self.n_mfcc}"
