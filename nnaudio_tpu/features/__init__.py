@@ -18,6 +18,7 @@ from .cfp import CFP, Combined_Frequency_Periodicity
 from .griffin_lim import Griffin_Lim
 from .inverse_cqt import GriffinLimCQT
 from .inverse_mel import InverseMelSpectrogram, InverseMFCC
+from .time_stretch import TimeStretch, phase_vocoder
 # function-level reference API (the reference star-exports its kernel
 # generators through this namespace, features/__init__.py:6-14)
 from ..compat import *  # noqa: F401,F403
@@ -44,4 +45,6 @@ __all__ = [
     "GriffinLimCQT",
     "InverseMelSpectrogram",
     "InverseMFCC",
+    "TimeStretch",
+    "phase_vocoder",
 ] + list(_compat_all)

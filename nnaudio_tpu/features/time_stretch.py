@@ -1,0 +1,203 @@
+"""Phase vocoder and time stretching (beyond-reference capability).
+
+librosa's ``phase_vocoder`` loops over output frames in Python,
+accumulating phase one column at a time; torchaudio's ``TimeStretch`` is
+the same recurrence. On TPU the recurrence is unnecessary: the accumulated
+phase is ``initial + cumsum(per-step increments)`` — every output frame's
+magnitude interpolation, phase increment and wrap are computed for ALL
+steps at once, and one ``jnp.cumsum`` along time replaces the serial loop.
+The complete :class:`TimeStretch` is then STFT → vectorized vocoder →
+iSTFT, all existing fused paths included.
+
+The stretch ``rate`` is a trace-time static (each distinct rate compiles
+once): output frame positions ``arange(0, T, rate)`` must be static for
+XLA's fixed shapes, which matches the serving reality of a handful of
+preset rates.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .stft import STFT, iSTFT
+
+
+def _nearest_peak_index(mag):
+    """Per (batch, step): for every bin, the index of the nearest local
+    magnitude maximum (ties to the lower bin). Fully vectorized: peaks via
+    padded comparisons, nearest via a forward cummax and a backward cummin
+    of peak positions. The global maximum always qualifies (>= on both
+    sides), so every frame has at least one peak."""
+    f = mag.shape[1]
+    lo = jnp.pad(mag, ((0, 0), (1, 0), (0, 0)),
+                 constant_values=-np.inf)[:, :-1]
+    hi = jnp.pad(mag, ((0, 0), (0, 1), (0, 0)),
+                 constant_values=-np.inf)[:, 1:]
+    is_peak = (mag >= lo) & (mag >= hi)
+    bins = jnp.arange(f, dtype=jnp.int32)[None, :, None]
+    fwd = jax.lax.cummax(jnp.where(is_peak, bins, -1), axis=1)
+    bwd = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(is_peak, bins, 2 * f), axis=1), axis=1), axis=1)
+    # choose the closer valid side (fwd == -1 / bwd == 2f mark "none")
+    d_f = jnp.where(fwd >= 0, bins - fwd, 2 * f)
+    d_b = jnp.where(bwd < f, bwd - bins, 2 * f)
+    return jnp.where(d_f <= d_b, jnp.maximum(fwd, 0),
+                     jnp.minimum(bwd, f - 1)), is_peak
+
+
+def phase_vocoder(X, rate: float, hop_length: int, phase_lock: bool = True):
+    """Stretch a complex STFT in time by ``rate`` without changing pitch.
+
+    Parameters
+    ----------
+    X : (B, F, T, 2) onesided complex STFT (standard rfft convention —
+        exactly ``STFT(output_format="Complex")``'s output).
+    rate : float (static)
+        ``rate > 1`` speeds up (fewer output frames), ``rate < 1`` slows
+        down. Output has ``ceil(T / rate)`` frames.
+    hop_length : int
+        Hop the STFT was produced with (sets the expected per-frame phase
+        advance ``ω_f = 2π·f·hop/n_fft``).
+    phase_lock : bool
+        ``True`` (default): Laroche–Dolson *identity phase locking* — only
+        local magnitude peaks accumulate phase; every other bin inherits
+        its nearest peak's accumulated phase plus the SOURCE frame's
+        cross-bin offset. The classic unlocked vocoder (``False`` —
+        librosa-``phase_vocoder``-equivalent, oracle-tested) scrambles the
+        cross-bin phase structure whenever an irregular (onset/boundary)
+        frame advance is double-counted at ``rate < 1``, costing steady
+        amplitude: a pure tone at rate 0.8 reconstructs at 0.215× rms
+        under both librosa's loop and the unlocked path, vs ~1× locked.
+
+    Returns
+    -------
+    (B, F, ceil(T/rate), 2) stretched complex STFT: magnitudes linearly
+    interpolated between the two bracketing input frames, phases advanced
+    by the instantaneous frequency. The unlocked path is one ``cumsum``
+    along time; the locked path is a ``lax.scan`` of elementwise (B, F)
+    updates (the lock couples each step to the previous OUTPUT phases).
+    """
+    X = jnp.asarray(X)
+    b, f, t = X.shape[0], X.shape[1], X.shape[2]
+    n_fft = 2 * (f - 1)
+
+    # static step geometry (numpy at trace time). Past the final frame the
+    # bracketing column is ZERO (librosa semantics: D is zero-padded, so
+    # the tail interpolates toward silence), not a clamp to the last frame.
+    steps = np.arange(0, t, float(rate))
+    idx0 = np.floor(steps).astype(np.int32)  # <= t - 1
+    idx1 = idx0 + 1                          # <= t, hits the zero pad
+    alpha = jnp.asarray((steps - np.floor(steps)).astype(np.float32))
+
+    Xp = jnp.pad(X, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    r0 = jnp.take(Xp[..., 0], idx0, axis=2)
+    i0 = jnp.take(Xp[..., 1], idx0, axis=2)
+    r1 = jnp.take(Xp[..., 0], idx1, axis=2)
+    i1 = jnp.take(Xp[..., 1], idx1, axis=2)
+
+    mag = ((1.0 - alpha)[None, None, :] * jnp.sqrt(r0 * r0 + i0 * i0)
+           + alpha[None, None, :] * jnp.sqrt(r1 * r1 + i1 * i1))
+
+    omega = (2.0 * np.pi * hop_length / n_fft) * jnp.arange(f,
+                                                            dtype=jnp.float32)
+    phase0 = jnp.arctan2(i0, r0)
+    phase1 = jnp.arctan2(i1, r1)
+    # instantaneous frequency: expected advance + principal-value deviation
+    dev = phase1 - phase0 - omega[None, :, None]
+    dev = dev - 2.0 * np.pi * jnp.round(dev / (2.0 * np.pi))
+    inc = omega[None, :, None] + dev  # phase advance emitted per step
+
+    if not phase_lock:
+        # librosa semantics: the first output frame keeps the input's
+        # phase; each later frame adds the PREVIOUS step's increment — an
+        # exclusive cumsum (no per-frame Python/scan recurrence)
+        acc = jnp.cumsum(inc, axis=2)
+        phase = phase0[:, :, :1] + jnp.concatenate(
+            [jnp.zeros_like(acc[:, :, :1]), acc[:, :, :-1]], axis=2)
+        return jnp.stack([mag * jnp.cos(phase), mag * jnp.sin(phase)],
+                         axis=-1)
+
+    peak_idx, is_peak = _nearest_peak_index(mag)
+
+    def body(prev_phase, step):
+        inc_s, src_s, pidx_s, ispk_s = step
+        acc = prev_phase + inc_s  # accumulated phase (valid at peaks)
+        peak_phase = jnp.take_along_axis(acc, pidx_s, axis=1)
+        src_at_peak = jnp.take_along_axis(src_s, pidx_s, axis=1)
+        locked = peak_phase + (src_s - src_at_peak)
+        phase = jnp.where(ispk_s, acc, locked)
+        return phase, phase
+
+    # scan over output steps; each step's per-(B, F) inputs stacked on the
+    # leading axis. Step 0 emits the source phases verbatim (the anchor).
+    xs = (jnp.moveaxis(inc[:, :, :-1], 2, 0),  # phase[s] += inc[s-1]
+          jnp.moveaxis(phase0[:, :, 1:], 2, 0),
+          jnp.moveaxis(peak_idx[:, :, 1:], 2, 0),
+          jnp.moveaxis(is_peak[:, :, 1:], 2, 0))
+    _, phases = jax.lax.scan(body, phase0[:, :, 0], xs)
+    phase = jnp.concatenate(
+        [phase0[:, :, :1], jnp.moveaxis(phases, 0, 2)], axis=2)
+    return jnp.stack([mag * jnp.cos(phase), mag * jnp.sin(phase)], axis=-1)
+
+
+class TimeStretch:
+    """Time-stretch audio without changing pitch: STFT → vectorized phase
+    vocoder → iSTFT (all three stages ride the package's fused paths).
+
+    Parameters
+    ----------
+    n_fft : int
+        Fourier size. Default 2048.
+    hop_length : int or None
+        Hop; default ``n_fft // 4``.
+    window : str
+        Analysis/synthesis window. Default ``'hann'``.
+    verbose : bool
+        Print kernel-construction info. Default ``False``.
+
+    Examples
+    --------
+    >>> ts = TimeStretch(n_fft=1024, hop_length=256)
+    >>> slower = ts(x, rate=0.8)     # ~25% longer, same pitch
+    >>> faster = ts(x, rate=1.25)
+    """
+
+    def __init__(self, n_fft: int = 2048, hop_length: int | None = None,
+                 window: str = "hann", verbose: bool = False):
+        self.n_fft = n_fft
+        self.hop = n_fft // 4 if hop_length is None else hop_length
+        self._stft = STFT(n_fft=n_fft, hop_length=self.hop, window=window,
+                          output_format="Complex", center=True,
+                          verbose=verbose)
+        self._istft = iSTFT(n_fft=n_fft, hop_length=self.hop, window=window,
+                            center=True, verbose=verbose)
+        self._jit_cache: dict = {}
+
+    def __call__(self, x, rate: float, phase_lock: bool = True):
+        if rate <= 0:
+            raise ValueError("rate must be positive")
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        length = int(round(x.shape[-1] / rate))
+        from ..config import cache_salt
+
+        key = (x.shape, float(rate), phase_lock,
+               cache_salt(self._stft._salt_fields
+                          + ("use_pallas_synthesis",)))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            sp = dict(self._stft._params)
+            ip = dict(self._istft._params)
+            hop = self.hop
+
+            def run(xx):
+                X = self._stft._forward(sp, xx, output_format="Complex")
+                Y = phase_vocoder(X, rate, hop, phase_lock=phase_lock)
+                return self._istft._forward(ip, Y, onesided=True,
+                                            length=length)
+
+            fn = jax.jit(run)
+            self._jit_cache[key] = fn
+        return fn(x)
