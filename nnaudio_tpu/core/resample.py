@@ -119,3 +119,65 @@ def downsample_by_n(
 
 def downsample_by_2(x: jax.Array, fir: jax.Array) -> jax.Array:
     return downsample_by_n(x, fir, 2)
+
+
+def _resample_fir(up: int, down: int) -> np.ndarray:
+    """scipy.signal.resample_poly's default FIR (Kaiser β=5, 10·max-rate
+    half-length, gain ``up``), built in fp64 at trace time."""
+    from scipy import signal
+
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    return signal.firwin(2 * half_len + 1, 1.0 / max_rate,
+                         window=("kaiser", 5.0)) * up
+
+
+def resample_poly(x: jax.Array, up: int, down: int,
+                  fir: np.ndarray | None = None) -> jax.Array:
+    """Rational-rate polyphase resampling as a banded framed matmul —
+    bit-compatible with ``scipy.signal.resample_poly(x, up, down,
+    window=('kaiser', 5.0))`` (tested to fp32 rounding, incl. 160/147).
+
+    The upsample-filter-decimate pipeline collapses to
+    ``y[n] = Σ_i x[i]·h[nM + half − iL]`` (``L=up``, ``M=down``, ``h``
+    centered): a band of taps whose phase pattern repeats every ``L``
+    outputs. Tiling ``R`` outputs per row with ``L | R`` makes every tile's
+    banded matrix IDENTICAL (tile t's input window just slides by
+    ``R·M/L``), so the whole resample is ``frames @ banded`` on the MXU —
+    the same design as :func:`downsample_by_n`, generalized to rational
+    rates. Gradients flow (plain jnp ops)."""
+    g = int(np.gcd(up, down))
+    up, down = up // g, down // g
+    if up == down:
+        return x
+    h = _resample_fir(up, down) if fir is None else np.asarray(fir)
+    taps = h.shape[-1]
+    half = (taps - 1) // 2
+    b, length = x.shape
+    n_out = -(-length * up // down)  # exact integer ceil (scipy's length)
+
+    r = up * max(1, round(128 / up)) if up <= 512 else up
+    # input index range covered by one tile of outputs r0=0..r-1
+    c = np.arange(r) * down + half
+    i_lo = int(np.ceil((c[0] - taps + 1) / up))
+    i_hi = int(c[-1] // up)
+    width = i_hi - i_lo + 1
+    hop_in = (r * down) // up  # integer: up | r
+
+    banded = np.zeros((r, width))
+    for rr in range(r):
+        j = c[rr] - (i_lo + np.arange(width)) * up
+        valid = (j >= 0) & (j < taps)
+        banded[rr, valid] = h[j[valid]]
+
+    n_tiles = -(-n_out // r)
+    lpad = max(0, -i_lo)
+    need = (n_tiles - 1) * hop_in + width
+    xp = jnp.pad(x, ((0, 0), (lpad, max(0, need - length - lpad))))
+    start = i_lo + lpad  # >= 0 by construction of lpad
+    frames = frame_signal(xp[:, start:start + need] if start else
+                          xp[:, :need], width, hop_in)
+    out = jnp.einsum("btw,rw->btr", frames, jnp.asarray(banded, jnp.float32),
+                     precision=dot_precision(),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, n_tiles * r)[:, :n_out].astype(x.dtype)

@@ -18,7 +18,7 @@ from .cfp import CFP, Combined_Frequency_Periodicity
 from .griffin_lim import Griffin_Lim
 from .inverse_cqt import GriffinLimCQT
 from .inverse_mel import InverseMelSpectrogram, InverseMFCC
-from .time_stretch import TimeStretch, phase_vocoder
+from .time_stretch import PitchShift, TimeStretch, phase_vocoder, resample
 # function-level reference API (the reference star-exports its kernel
 # generators through this namespace, features/__init__.py:6-14)
 from ..compat import *  # noqa: F401,F403
@@ -45,6 +45,8 @@ __all__ = [
     "GriffinLimCQT",
     "InverseMelSpectrogram",
     "InverseMFCC",
+    "PitchShift",
     "TimeStretch",
+    "resample",
     "phase_vocoder",
 ] + list(_compat_all)

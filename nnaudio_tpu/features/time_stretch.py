@@ -201,3 +201,69 @@ class TimeStretch:
             fn = jax.jit(run)
             self._jit_cache[key] = fn
         return fn(x)
+
+
+def resample(x, orig_sr: float, target_sr: float, max_denominator: int = 512):
+    """Rational-rate resampling (the librosa ``resample`` /
+    ``res_type='polyphase'`` analog): one banded framed matmul on the MXU
+    (core/resample.resample_poly, scipy-``resample_poly``-exact). The rate
+    ratio is approximated by a fraction with denominator ≤
+    ``max_denominator`` (exact for integer rates like 22050↔44100 or
+    44100↔48000)."""
+    from fractions import Fraction
+
+    from ..core.resample import resample_poly
+
+    x = jnp.asarray(x)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    frac = Fraction(target_sr / orig_sr).limit_denominator(max_denominator)
+    out = resample_poly(x, frac.numerator, frac.denominator)
+    return out[0] if squeeze else out
+
+
+class PitchShift:
+    """Shift pitch by ``n_steps`` (fractional allowed) without changing
+    duration: phase-locked time stretch by ``2^(-n/bins_per_octave)``
+    followed by a polyphase speed change back to the original length —
+    the torchaudio-``PitchShift`` / librosa-``pitch_shift`` analog, with
+    the identity-phase-locked vocoder (see :func:`phase_vocoder`) instead
+    of the classic amplitude-losing one.
+
+    Examples
+    --------
+    >>> ps = PitchShift(sr=22050, n_fft=1024, hop_length=256)
+    >>> up_a_fifth = ps(x, n_steps=7)
+    """
+
+    def __init__(self, sr: float = 22050, n_fft: int = 2048,
+                 hop_length: int | None = None, window: str = "hann",
+                 bins_per_octave: int = 12, max_denominator: int = 150,
+                 verbose: bool = False):
+        self.sr = sr
+        self.bins_per_octave = bins_per_octave
+        self.max_denominator = max_denominator
+        self._ts = TimeStretch(n_fft=n_fft, hop_length=hop_length,
+                               window=window, verbose=verbose)
+
+    def __call__(self, x, n_steps: float, phase_lock: bool = True):
+        from fractions import Fraction
+
+        from ..core.resample import resample_poly
+
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        if n_steps == 0:
+            return x
+        s = 2.0 ** (float(n_steps) / self.bins_per_octave)
+        stretched = self._ts(x, rate=1.0 / s, phase_lock=phase_lock)
+        # speed change by s: resample length L·s -> L, raising pitch by s
+        frac = Fraction(1.0 / s).limit_denominator(self.max_denominator)
+        out = resample_poly(stretched, frac.numerator, frac.denominator)
+        length = x.shape[-1]
+        out = out[:, :length]
+        if out.shape[-1] < length:
+            out = jnp.pad(out, ((0, 0), (0, length - out.shape[-1])))
+        return out

@@ -114,3 +114,59 @@ def test_time_stretch_validates_rate():
     ts = features.TimeStretch(n_fft=512, hop_length=128)
     with pytest.raises(ValueError):
         ts(np.zeros(4096, np.float32), rate=0.0)
+
+
+# ---------------------------------------------------------------- resample --
+def test_resample_poly_matches_scipy():
+    """The banded-matmul polyphase resampler is scipy.signal.resample_poly
+    (kaiser 5.0) to fp32 rounding, across integer and rational ratios."""
+    from scipy import signal
+
+    from nnaudio_tpu.core.resample import resample_poly
+
+    x = np.random.RandomState(0).randn(2, 4321).astype(np.float32)
+    for (up, down) in [(3, 2), (2, 3), (160, 147), (320, 441), (1, 4),
+                       (4, 1)]:
+        want = signal.resample_poly(x.astype(np.float64), up, down, axis=1,
+                                    window=("kaiser", 5.0))
+        got = np.asarray(resample_poly(x, up, down))
+        assert got.shape == want.shape, (up, down)
+        np.testing.assert_allclose(got, want,
+                                   atol=2e-6 * np.abs(want).max())
+
+
+def test_resample_preserves_tone_frequency():
+    from nnaudio_tpu.features import resample
+
+    x = _tone(440.0)
+    y = np.asarray(resample(x, SR, 16000))
+    assert y.shape[-1] == 16000  # ceil(22050 * 16000/22050)
+    N = y.shape[-1]
+    F = np.abs(np.fft.rfft(y[0] * np.hanning(N)))
+    freq = F.argmax() * 16000 / N
+    assert abs(freq - 440.0) < 2.0, freq
+
+
+@pytest.mark.parametrize("n_steps", [12, 7, -5, 3.5])
+def test_pitch_shift_frequency_and_length(n_steps):
+    """PitchShift moves a tone to 440·2^(n/12) Hz at the original length
+    with amplitude preserved (the phase-locked vocoder underneath)."""
+    x = _tone(440.0)
+    ps = features.PitchShift(sr=SR, n_fft=1024, hop_length=256)
+    y = np.asarray(ps(x, n_steps=n_steps))
+    assert y.shape == x.shape
+    st = features.STFT(n_fft=8192, hop_length=2048,
+                       output_format="Magnitude", verbose=False)
+    S = np.asarray(st(y)).mean(-1)[0]
+    freq = S.argmax() * SR / 8192
+    want = 440.0 * 2 ** (n_steps / 12)
+    assert abs(freq - want) < SR / 8192 * 1.5, (freq, want)
+    core = slice(2048, y.shape[-1] - 2048)
+    rms = float(np.sqrt((y[:, core] ** 2).mean()))
+    assert abs(rms - 0.707) < 0.06, rms
+
+
+def test_pitch_shift_zero_steps_is_identity():
+    x = _tone(440.0)
+    ps = features.PitchShift(sr=SR, n_fft=1024, hop_length=256)
+    np.testing.assert_array_equal(np.asarray(ps(x, n_steps=0)), x)
