@@ -22,10 +22,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.frame import pad_signal
 from ..ops.dispatch import framed_basis_pair, synthesis_ola
 from .base import SpectralTransform
-from .cqt import CQT1992v2, _check_norm_type
+from .cqt import CQT1992v2, _center_pad, _check_norm_type
 
 
 class GriffinLimCQT(SpectralTransform):
@@ -217,7 +216,10 @@ class GriffinLimCQT(SpectralTransform):
             aki = params["cqt_kernels_imag"] * s
 
             def analyze(sig):
-                sig = pad_signal(sig, self.pad_amount, self.pad_mode)
+                # same constant-pad fallback as the forward (features/
+                # cqt.py:341): short clips whose synthesis is shorter than
+                # the reflect pad must still be re-analyzable in the loop
+                sig = _center_pad(sig, self.pad_amount, self.pad_mode)
                 r_re, r_im_raw = framed_basis_pair(sig, akr, aki,
                                                    self.hop_length)
                 return r_re, -r_im_raw
@@ -273,6 +275,21 @@ class GriffinLimCQT(SpectralTransform):
         merged = dict(self._params)
         merged.update(self._derived)
         if params:
+            # apply-time overrides reach only the in-loop RE-ANALYSIS; the
+            # synthesis duals are host-built fp64 arrays (_rebuild_duals)
+            # that cannot be rederived from traced values. Allowing a
+            # kernel override here would silently iterate between two
+            # different frames — reject it and point at the supported
+            # route (update_params rebuilds both halves).
+            shared = sorted(k for k in params if k in self._cqt._params)
+            if shared:
+                raise ValueError(
+                    "GriffinLimCQT.apply() cannot take overrides for "
+                    f"analysis-bank parameters {shared}: the synthesis "
+                    "duals are derived from them outside the graph. Use "
+                    "update_params({...}) to change the bank (it rebuilds "
+                    "the duals), then call apply(None, S)."
+                )
             merged.update(params)
             merged = self._rederive(merged, frozenset(params))
         S = jnp.asarray(S)

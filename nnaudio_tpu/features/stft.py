@@ -96,6 +96,13 @@ def _inverse_stft_graph(
             signal = signal[:, pad_amount : pad_amount + length]
         else:
             signal = signal[:, :length]
+        if signal.shape[1] < length:
+            # librosa istft(length=...) semantics: pad a shortfall with
+            # zeros so the caller always receives exactly `length` samples
+            # (reachable when hop > n_fft//2 trims more than the frames
+            # cover, e.g. TimeStretch at large rates with hop == n_fft)
+            signal = jnp.pad(
+                signal, ((0, 0), (0, length - signal.shape[1])))
     return signal
 
 

@@ -178,7 +178,8 @@ class TimeStretch:
         if rate <= 0:
             raise ValueError("rate must be positive")
         x = jnp.asarray(x)
-        if x.ndim == 1:
+        squeeze = x.ndim == 1
+        if squeeze:
             x = x[None]
         length = int(round(x.shape[-1] / rate))
         from ..config import cache_salt
@@ -200,7 +201,8 @@ class TimeStretch:
 
             fn = jax.jit(run)
             self._jit_cache[key] = fn
-        return fn(x)
+        out = fn(x)
+        return out[0] if squeeze else out
 
 
 def resample(x, orig_sr: float, target_sr: float, max_denominator: int = 512):
@@ -253,10 +255,11 @@ class PitchShift:
         from ..core.resample import resample_poly
 
         x = jnp.asarray(x)
-        if x.ndim == 1:
+        squeeze = x.ndim == 1
+        if squeeze:
             x = x[None]
         if n_steps == 0:
-            return x
+            return x[0] if squeeze else x
         s = 2.0 ** (float(n_steps) / self.bins_per_octave)
         stretched = self._ts(x, rate=1.0 / s, phase_lock=phase_lock)
         # speed change by s: resample length L·s -> L, raising pitch by s
@@ -266,4 +269,4 @@ class PitchShift:
         out = out[:, :length]
         if out.shape[-1] < length:
             out = jnp.pad(out, ((0, 0), (0, length - out.shape[-1])))
-        return out
+        return out[0] if squeeze else out

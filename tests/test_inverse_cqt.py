@@ -366,3 +366,38 @@ def test_icqt_1992_trainable_raises():
     X = np.zeros((1, 24, 30, 2), np.float32)
     with pytest.raises(NotImplementedError):
         layer.inverse(X)
+
+
+def test_griffinlim_cqt_short_clip_constant_pad_fallback():
+    """A clip short enough that the forward CQT warns and falls back to
+    constant padding must also be Griffin-Lim-invertible: the in-loop
+    re-analysis shares the forward's _center_pad fallback instead of
+    raising an opaque reflect-pad error."""
+    sr, hop = 22050, 128
+    x = _tones(sr, secs=0.15)  # shorter than kernel_width//2 = 4096
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cqt = features.CQT1992v2(sr=sr, fmin=55, n_bins=48, hop_length=hop,
+                                 output_format="Magnitude", verbose=False)
+        S = np.asarray(cqt(x))
+        gl = features.GriffinLimCQT(sr=sr, fmin=55, n_bins=48,
+                                    hop_length=hop, n_iter=4, verbose=False)
+        xr = np.asarray(gl(S, length=x.shape[-1]))
+    assert xr.shape == x.shape
+    assert np.isfinite(xr).all()
+
+
+def test_griffinlim_cqt_apply_rejects_kernel_overrides():
+    """apply-time bank overrides would desynchronize the fixed point (the
+    synthesis duals are host-built): must raise, naming update_params."""
+    import jax.numpy as jnp
+
+    gl = features.GriffinLimCQT(sr=8000, fmin=100, n_bins=24,
+                                hop_length=64, n_iter=2, verbose=False)
+    S = jnp.ones((1, 24, 12), jnp.float32)
+    kr = gl._params["cqt_kernels_real"]
+    with pytest.raises(ValueError, match="update_params"):
+        gl.apply({"cqt_kernels_real": kr * 1.1}, S)
+    # non-bank params (none exist today) and params=None still work
+    out = gl.apply(None, S)
+    assert np.isfinite(np.asarray(out)).all()

@@ -170,3 +170,27 @@ def test_pitch_shift_zero_steps_is_identity():
     x = _tone(440.0)
     ps = features.PitchShift(sr=SR, n_fft=1024, hop_length=256)
     np.testing.assert_array_equal(np.asarray(ps(x, n_steps=0)), x)
+
+
+def test_time_stretch_pads_shortfall_to_contract_length():
+    """hop > n_fft//2 at a large rate produces fewer synthesized samples
+    than round(len/rate); the iSTFT must zero-pad the shortfall (librosa
+    istft(length=...) semantics), not silently return a short signal."""
+    x = _tone(440.0, secs=8192 / SR)[:, :8192]
+    ts = features.TimeStretch(n_fft=512, hop_length=512)
+    y = np.asarray(ts(x, rate=6.0))
+    assert y.shape == (1, round(8192 / 6.0))
+    assert np.isfinite(y).all()
+
+
+def test_time_stretch_and_pitch_shift_preserve_1d_shape():
+    """1-D in -> 1-D out, matching features.resample's convention."""
+    x = _tone(440.0, secs=0.5)[0]
+    assert x.ndim == 1
+    ts = features.TimeStretch(n_fft=1024, hop_length=256)
+    y = np.asarray(ts(x, rate=0.8))
+    assert y.ndim == 1 and y.shape[0] == round(x.shape[0] / 0.8)
+    ps = features.PitchShift(sr=SR, n_fft=1024, hop_length=256)
+    z = np.asarray(ps(x, n_steps=3))
+    assert z.ndim == 1 and z.shape[0] == x.shape[0]
+    np.testing.assert_array_equal(np.asarray(ps(x, n_steps=0)), x)
