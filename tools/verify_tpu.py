@@ -297,6 +297,34 @@ def main():
     check("griffinlim_cqt_spectral_convergence", rel < 0.2,
           f"rel={rel:.3f}")
 
+    # processing tier (round 4): resample vs scipy, phase-locked stretch
+    # amplitude, pitch-shift frequency — the STFT->vocoder->iSTFT chain
+    # and the banded polyphase matmul driven end-to-end on this backend
+    from scipy.signal import resample_poly as sp_resample_poly
+
+    tone = np.sin(2 * np.pi * 440 * t_ax).astype(np.float32)[None]
+    y16 = np.asarray(features.resample(tone, 22050, 16000))
+    want16 = sp_resample_poly(np.asarray(tone, np.float64), 320, 441, axis=-1)
+    rel = (np.abs(y16 - want16).max() / np.abs(want16).max())
+    check("resample_poly_vs_scipy", rel < 1e-4, f"rel_err={rel:.2e}")
+
+    ts = features.TimeStretch(n_fft=1024, hop_length=256)
+    ys = np.asarray(ts(tone, rate=0.8))
+    core_s = slice(2048, ys.shape[-1] - 2048)
+    rms = float(np.sqrt((ys[:, core_s] ** 2).mean()))
+    ok_len = ys.shape[-1] == round(tone.shape[-1] / 0.8)
+    check("time_stretch_locked_amplitude", ok_len and abs(rms - 0.707) < 0.08,
+          f"rms={rms:.3f} (want 0.707) len_ok={ok_len}")
+
+    ps = features.PitchShift(sr=22050, n_fft=1024, hop_length=256)
+    yp = np.asarray(ps(tone, n_steps=7))
+    Fp = np.abs(np.fft.rfft(yp[0] * np.hanning(yp.shape[-1])))
+    got_f = Fp.argmax() * 22050 / yp.shape[-1]
+    want_f = 440 * 2 ** (7 / 12)
+    check("pitch_shift_frequency",
+          yp.shape == tone.shape and abs(got_f - want_f) < 4,
+          f"freq={got_f:.1f} (want {want_f:.1f})")
+
     # checkpoint round-trip (npz)
     import tempfile
 
