@@ -108,69 +108,69 @@ def tpu_metrics() -> dict[str, dict]:
 
     st = features.STFT(n_fft=N_FFT, hop_length=HOP,
                        output_format="Magnitude", verbose=False)
-    sp = dict(st._params)
+    sp = dict(st.forward_params)
     out["stft"] = _thr(_timeit(
         lambda xx: st._forward(sp, xx, output_format="Magnitude"), x))
     with fast_mode():
         stf = features.STFT(n_fft=N_FFT, hop_length=HOP,
                             output_format="Magnitude", verbose=False)
-        spf = dict(stf._params)
+        spf = dict(stf.forward_params)
         out["stft_fast"] = _thr(_timeit(
             lambda xx: stf._forward(spf, xx, output_format="Magnitude"), x))
 
     mel = features.MelSpectrogram(sr=SR, n_fft=N_FFT, hop_length=HOP,
                                   n_mels=128, verbose=False)
-    mp = dict(mel._params)
+    mp = dict(mel.forward_params)
     out["mel"] = _thr(_timeit(lambda xx: mel._forward(mp, xx), x))
     with fast_mode():
         melf = features.MelSpectrogram(sr=SR, n_fft=N_FFT, hop_length=HOP,
                                        n_mels=128, verbose=False)
-        mpf = dict(melf._params)
+        mpf = dict(melf.forward_params)
         out["mel_fast"] = _thr(_timeit(
             lambda xx: melf._forward(mpf, xx), x))
 
     mf = features.MFCC(sr=SR, n_mfcc=20, verbose=False)
-    fp = dict(mf._params)
+    fp = dict(mf.forward_params)
     out["mfcc"] = _thr(_timeit(lambda xx: mf._forward(fp, xx), x))
 
     q = features.CQT1992v2(sr=SR, hop_length=HOP, n_bins=84,
                            bins_per_octave=12, verbose=False)
-    qp = dict(q._params)
+    qp = dict(q.forward_params)
     out["cqt1992v2"] = _thr(_timeit(
         lambda xx: q._forward(qp, xx, output_format="Magnitude",
                               normalization_type="librosa"), x))
     with fast_mode():
         qf = features.CQT1992v2(sr=SR, hop_length=HOP, n_bins=84,
                                 bins_per_octave=12, verbose=False)
-        qfp = dict(qf._params)
+        qfp = dict(qf.forward_params)
         out["cqt1992v2_fast"] = _thr(_timeit(
             lambda xx: qf._forward(qfp, xx, output_format="Magnitude",
                                    normalization_type="librosa"), x))
 
     vq = features.VQT(sr=SR, hop_length=HOP, n_bins=84, bins_per_octave=12,
                       gamma=2, verbose=False)
-    vp = dict(vq._params)
+    vp = dict(vq.forward_params)
     out["vqt"] = _thr(_timeit(
         lambda xx: vq._forward(vp, xx, output_format="Magnitude",
                                normalization_type="librosa"), x))
     with fast_mode():
         vqf = features.VQT(sr=SR, hop_length=HOP, n_bins=84,
                            bins_per_octave=12, gamma=2, verbose=False)
-        vfp = dict(vqf._params)
+        vfp = dict(vqf.forward_params)
         out["vqt_fast"] = _thr(_timeit(
             lambda xx: vqf._forward(vfp, xx, output_format="Magnitude",
                                     normalization_type="librosa"), x))
 
     c10 = features.CQT2010v2(sr=SR, hop_length=HOP, n_bins=84,
                              bins_per_octave=12, verbose=False)
-    cp10 = dict(c10._params)
+    cp10 = dict(c10.forward_params)
     out["cqt2010v2"] = _thr(_timeit(
         lambda xx: c10._forward(cp10, xx, output_format="Magnitude",
                                 normalization_type="librosa"), x))
     with fast_mode():
         c10f = features.CQT2010v2(sr=SR, hop_length=HOP, n_bins=84,
                                   bins_per_octave=12, verbose=False)
-        cp10f = dict(c10f._params)
+        cp10f = dict(c10f.forward_params)
         out["cqt2010v2_fast"] = _thr(_timeit(
             lambda xx: c10f._forward(cp10f, xx, output_format="Magnitude",
                                      normalization_type="librosa"), x))
@@ -179,19 +179,19 @@ def tpu_metrics() -> dict[str, dict]:
     cfp_x = jax.device_put(
         np.random.RandomState(2).randn(BATCH, 160000).astype(np.float32))
     cfp = features.Combined_Frequency_Periodicity(fs=16000, hop_length=320)
-    cfpp = dict(cfp._params)
+    cfpp = dict(cfp.forward_params)
     out["cfp"] = _thr(_timeit(
         lambda xx: cfp._forward(cfpp, xx), cfp_x, iters=4))
 
     X = jax.device_put(np.asarray(st._forward(sp, x, output_format="Complex")))
     ist = features.iSTFT(n_fft=N_FFT, hop_length=HOP, verbose=False)
-    ip = dict(ist._params)
+    ip = dict(ist.forward_params)
     out["istft"] = _thr(_timeit(
         lambda XX: ist._forward(ip, XX, onesided=True, length=LENGTH), X))
 
     S = jax.device_put(np.abs(np.asarray(X[..., 0])))
     gl = features.Griffin_Lim(n_fft=N_FFT, hop_length=HOP, n_iter=32)
-    glp = dict(gl._params)
+    glp = dict(gl.forward_params)
     key = jax.random.PRNGKey(0)
     out["griffin_lim"] = _thr(_timeit(
         lambda SS, k: gl._forward(glp, SS, k), S, iters=2, extra=key))
@@ -201,7 +201,7 @@ def tpu_metrics() -> dict[str, dict]:
                                          n_mels=128, n_iter_nnls=64,
                                          n_iter=32, verbose=False)
     mel_in = jax.device_put(np.asarray(mel._forward(mp, x)))
-    ivp = dict(inv._params)
+    ivp = dict(inv.forward_params)
     out["inverse_mel"] = _thr(_timeit(
         lambda MM, k: inv._forward(ivp, MM, k), mel_in, iters=2, extra=key))
 
@@ -209,7 +209,7 @@ def tpu_metrics() -> dict[str, dict]:
     # inversion-friendly bank (hop <= shortest-atom/2)
     icq = features.CQT1992v2(sr=SR, hop_length=128, fmin=55, n_bins=48,
                              output_format="Complex", verbose=False)
-    icqp = dict(icq._params)
+    icqp = dict(icq.forward_params)
     Xc = jax.device_put(np.asarray(icq._forward(
         icqp, x, output_format="Complex", normalization_type="librosa")))
     ikc, iks = icq._dual_kernels("librosa", 1e-3)
@@ -231,7 +231,7 @@ def tpu_metrics() -> dict[str, dict]:
                         verbose=False)
     n_frames = LENGTH // HOP + 1
     head = jnp.zeros((N_FFT // 2 + 1, 8), jnp.float32) + 1e-3
-    params0 = {**{k: jnp.asarray(v) for k, v in stt._params.items()},
+    params0 = {**{k: jnp.asarray(v) for k, v in stt.forward_params.items()},
                "head": head}
     y_true = jax.device_put(
         np.random.RandomState(1).randn(BATCH, 8).astype(np.float32))
@@ -282,7 +282,7 @@ def tpu_metrics() -> dict[str, dict]:
     qt = features.CQT1992v2(sr=SR, hop_length=HOP, n_bins=84,
                             bins_per_octave=12, trainable=True, verbose=False)
     qt_head = jnp.zeros((84, 8), jnp.float32) + 1e-3
-    qt_params0 = {**{k: jnp.asarray(v) for k, v in qt._params.items()},
+    qt_params0 = {**{k: jnp.asarray(v) for k, v in qt.forward_params.items()},
                   "head": qt_head}
 
     def cqt_loss_fn(p, xx):

@@ -69,7 +69,7 @@ def main():
 
     vq = features.VQT(sr=SR, hop_length=HOP, n_bins=84, bins_per_octave=12,
                       gamma=2, verbose=False)
-    p = dict(vq._params)
+    p = dict(vq.forward_params)
 
     t = timeit(lambda xx: vq._forward(p, xx, output_format="Magnitude"), x)
     print(f"VQT full:            {t*1e3:7.2f} ms  {AUDIO_S/t:9.0f} audio-s/s")
@@ -117,7 +117,7 @@ def main():
 
     cq = features.CQT2010v2(sr=SR, hop_length=HOP, n_bins=84,
                             bins_per_octave=12, verbose=False)
-    cp = dict(cq._params)
+    cp = dict(cq.forward_params)
     t = timeit(lambda xx: cq._forward(cp, xx, output_format="Magnitude"), x)
     print(f"CQT2010v2 full:      {t*1e3:7.2f} ms  {AUDIO_S/t:9.0f} audio-s/s")
 

@@ -95,7 +95,7 @@ def pyramid_ab():
                 set_use_fused_pyramid(fused)
                 m = cls(sr=SR, hop_length=HOP, n_bins=84, bins_per_octave=12,
                         verbose=False, **kw)
-                p = dict(m._params)
+                p = dict(m.forward_params)
 
                 def f(xx):
                     return m._forward(p, xx, output_format="Magnitude")
@@ -118,7 +118,7 @@ def cfp_decompose():
     xl = jax.device_put(
         np.random.RandomState(0).randn(BATCH, fs * 10).astype(np.float32))
     m = features.Combined_Frequency_Periodicity(fs=fs, hop_length=hop)
-    p = dict(m._params)
+    p = dict(m.forward_params)
 
     set_use_mxu_fft(False)
     run_full = make_timed(lambda xx: m._forward(p, xx), xl, iters=4)

@@ -100,7 +100,7 @@ def chain_ab():
                     set_use_fused_pyramid(fused)
                     m = cls(sr=SR, hop_length=HOP, n_bins=84,
                             bins_per_octave=12, verbose=False, **kw)
-                    p = dict(m._params)
+                    p = dict(m.forward_params)
 
                     def f(xx):
                         return m._forward(p, xx, output_format="Magnitude")
@@ -139,7 +139,7 @@ def gl_highest_ab():
     audio_s = bsz * 10.0
 
     def timed(gl, use_fused):
-        p = {k: jnp.asarray(v) for k, v in gl._params.items()}
+        p = {k: jnp.asarray(v) for k, v in gl.forward_params.items()}
         orig_plan = framed_matmul.gl_step_plan
         if not use_fused:
             framed_matmul.gl_step_plan = lambda *a, **k: None
