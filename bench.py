@@ -225,6 +225,31 @@ def tpu_metrics() -> dict[str, dict]:
     out["griffinlim_cqt"] = _thr(_timeit(
         lambda SS, k: glc._forward(glcp, SS, k), Smag, iters=2, extra=key))
 
+    # processing tier (beyond-reference): phase-locked vocoder time
+    # stretch, pitch shift, and the polyphase resampler (audio-s counted
+    # at the INPUT rate for all three)
+    from nnaudio_tpu.core.resample import resample_poly
+    from nnaudio_tpu.features.time_stretch import phase_vocoder
+
+    ts = features.TimeStretch(n_fft=N_FFT, hop_length=HOP)
+    tsp, tip = dict(ts._stft._params), dict(ts._istft._params)
+    ts_rate = 1.25
+    ts_len = int(round(LENGTH / ts_rate))
+
+    def ts_run(xx):
+        X = ts._stft._forward(tsp, xx, output_format="Complex")
+        Y = phase_vocoder(X, ts_rate, HOP, phase_lock=True)
+        return ts._istft._forward(tip, Y, onesided=True, length=ts_len)
+
+    out["time_stretch"] = _thr(_timeit(ts_run, x, iters=4))
+
+    ps = features.PitchShift(sr=SR, n_fft=N_FFT, hop_length=HOP)
+    out["pitch_shift"] = _thr(_timeit(lambda xx: ps(xx, 2.0), x, iters=2))
+
+    # 22050 -> 16000 is the 320/441 rational case (worst-case band count)
+    out["resample"] = _thr(_timeit(
+        lambda xx: resample_poly(xx, 320, 441), x))
+
     # trainable end-to-end step: STFT basis + linear head under jax.grad
     stt = features.STFT(n_fft=N_FFT, hop_length=HOP,
                         output_format="Magnitude", trainable=True,
@@ -505,6 +530,9 @@ NAMES = {
     "inverse_mel": "inverse_mel_throughput_64nnls_32gl",
     "icqt": "icqt_cqt1992v2_throughput_48bins_h128",
     "griffinlim_cqt": "griffinlim_cqt_throughput_48bins_32iters",
+    "time_stretch": "time_stretch_throughput_rate1.25_locked",
+    "pitch_shift": "pitch_shift_throughput_up2semitones",
+    "resample": "resample_throughput_22050_to_16000",
     "train_step": "trainable_stft_train_step_throughput",
     "train_step_fast": "trainable_stft_train_step_fast_bf16_throughput",
     "train_step_cqt": "trainable_cqt1992v2_train_step_throughput",

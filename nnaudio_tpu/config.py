@@ -31,25 +31,30 @@ class _Config:
     use_pallas_synthesis: bool | None = None
     # Fused CQT2010/CQT2010v2/VQT pyramid: all octaves' projections in one
     # batched einsum instead of 7 ill-shaped per-octave dispatches
-    # (ops/pyramid.py). None = auto: currently OFF — exact (4e-7 vs the
-    # loop, gradient-tested) but not yet A/B'd on real hardware, and the
-    # round-1 gather-based variant of the same idea measured slower; run
-    # tools/profile_r3b.py on-chip and flip the auto policy if it wins.
-    # True/False force it.
+    # (ops/pyramid.py). None = auto: OFF — the round-4 on-chip A/B
+    # (tools/profile_r3b.py, calm chip): the fused contraction measured
+    # 0.84-0.86x the per-octave loop at HIGHEST (37.7-38.3k vs
+    # 44.3-44.8k audio-s/s) and parity (1.01-1.02x) in fast mode, for
+    # both CQT2010v2 and VQT. Exact (4e-7 vs the loop, gradient-tested);
+    # True forces it on.
     use_fused_pyramid: bool | None = None
     # MXU-staged real FFT for CFP's interior transforms (ops/mxu_fft.py).
-    # None = auto (TPU only — CPU pocketfft is already fast). True/False
-    # force it.
+    # None = auto: OFF — the round-4 on-chip A/B (tools/profile_r3b.py)
+    # measured it at 0.24-0.29x the XLA FFT inside the real CFP chain
+    # (XLA fuses the rfft with the elementwise layers; the staged matmul
+    # path can't). True forces it on for experiments.
     use_mxu_fft: bool | None = None
     # Parallel pyramid decimation chain (CQT2010/CQT2010v2/VQT): every
     # octave level computed directly from the top-rate signal with one
     # strided banded matmul over a composed cascade filter
     # (core/resample.compose_cascade) instead of the serial per-octave
-    # lowpass+decimate chain. Exact up to fp32 reassociation (~1.4x the
-    # dense FLOPs, but 6 independent MXU-sized ops instead of 7 serial
-    # shrinking ones). None = auto: OFF until the on-chip A/B
-    # (tools/profile_r4_chain.py) shows it wins — same evidence standard
-    # as use_fused_pyramid. True/False force it.
+    # lowpass+decimate chain. Exact up to fp32 reassociation. None =
+    # auto: OFF — the round-4 on-chip A/B (tools/profile_r4_chain.py)
+    # measured it at 0.19-0.25x the serial chain (~34.5 ms vs ~7.3 ms/
+    # batch) across CQT2010v2/VQT x both precisions x fused-pyramid
+    # on/off: the composed filters' dense-FLOP blowup (level k pays a
+    # 255*2^k-tap band at the FULL rate; Σ_k ≈ 64x the serial chain's
+    # taps) dominates any dispatch-shape win. True forces it on.
     use_parallel_chain: bool | None = None
 
 

@@ -27,8 +27,16 @@ at ``Precision.HIGHEST`` regardless of the package fast-mode (FFT error
 compounds across CFP's layer chain; the matmul is ~1/30 of a dense DFT so
 the fp32 cost is immaterial). Accuracy vs numpy fp64: ~1e-6 relative.
 
-Gated by ``config.use_mxu_fft`` (None = auto: TPU only — CPU backends have
-a fast native pocketfft, and the fallback keeps CPU tests bit-stable).
+Gated by ``config.use_mxu_fft`` (None = auto: OFF everywhere). The round-4
+on-chip A/B (tools/profile_r3b.py, calm chip at 32.6 TFLOP/s probe)
+measured this path at 0.24x the XLA FFT for the full CFP chain (246.9 ms
+vs 59.8 ms/batch) and 0.29x for the STFT-only variant — the round-2
+"XLA TPU FFT runs at 0.14 TFLOP/s" datum that motivated it was collected
+on a DCE-compromised microbench and does not reproduce inside the real
+pipeline, where XLA fuses the rfft with the surrounding elementwise
+chain. The kernel stays available (``use_mxu_fft=True``) for exactness
+experiments; it is numerically validated at ~1e-6 vs numpy fp64
+(tests/test_mxu_fft.py).
 """
 from __future__ import annotations
 
@@ -45,7 +53,7 @@ from ..config import get_config, on_tpu
 def mxu_fft_enabled() -> bool:
     flag = get_config().use_mxu_fft
     if flag is None:
-        return on_tpu()
+        return False  # round-4 on-chip A/B: 0.24-0.29x the XLA FFT
     return bool(flag)
 
 
