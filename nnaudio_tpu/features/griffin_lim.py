@@ -243,19 +243,19 @@ class Griffin_Lim(SpectralTransform):
         # tensorfloat32 asks ~1e-4 iteration numerics; the fused step's bf16
         # carries deliver ~2e-3, so tf32 keeps the XLA loop (same contract as
         # the analysis/synthesis kernels' tf32 gates in ops/dispatch.py).
-        # iter_precision='highest' uses the fp32 variant of the fused step
-        # (chunked-K HIGHEST dots, fp32 carries — round-4 VERDICT item 6),
-        # but ONLY under an ambient 'highest' setting: iter_precision never
-        # *raises* precision above the ambient config (class contract), so
-        # ambient-'default' + iter-'highest' keeps the XLA loop, which
-        # traces at the ambient precision with fp32 carries as before.
+        # iter_precision='highest' keeps the XLA loop: the fp32 variant of
+        # the fused step (chunked-K HIGHEST dots, fp32 carries) was built
+        # for round-4 VERDICT item 6 and measured 0.86x the XLA chain
+        # on-chip (121.5 vs 104.2 ms/batch, tools/profile_r4_chain.py) —
+        # the chunked-K plan's extra VMEM round trips outweigh the saved
+        # elementwise chain at fp32 cost. The kernel remains exactness-
+        # tested (tests/test_ops.py) and callable via _forward_fused with
+        # a highest=True plan for experiments.
         if (on_tpu() and cfg.use_pallas
                 and cfg.matmul_precision != "tensorfloat32"
-                and (self.iter_precision == "default"
-                     or cfg.matmul_precision == "highest")):
+                and self.iter_precision == "default"):
             sig_len = self.n_fft + self.hop_length * (t - 1)
-            plan = gl_step_plan(b, sig_len, f, self.n_fft, self.hop_length,
-                                highest=self.iter_precision == "highest")
+            plan = gl_step_plan(b, sig_len, f, self.n_fft, self.hop_length)
         if plan is not None:
             return self._forward_fused(params, S, rand_phase, mom, plan)
 

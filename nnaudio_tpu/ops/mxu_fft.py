@@ -1,9 +1,10 @@
 """Real FFT as MXU matmul stages + VPU butterflies (the CFP hot path).
 
-XLA's TPU FFT lowering is the one transform in this package that runs far
-below the roofline (measured ~0.14 TFLOP/s effective in round 2 — the
-reference's CFP chain, ``cfp.py:119-150``, is built on exactly these
-length-N rffts). A dense DFT matmul fixes the throughput but cubes the
+A round-2 microbench put XLA's TPU FFT lowering at ~0.14 TFLOP/s
+effective — later found DCE-compromised and NOT reproduced in-pipeline
+(see the gating paragraph below); the reference's CFP chain,
+``cfp.py:119-150``, is built on exactly these length-N rffts. A dense
+DFT matmul fixes the microbench throughput but cubes the
 work (a (4001, 4001) HIGHEST matmul measured *slower* than the XLA FFT).
 This module takes the middle road — a four-step Cooley–Tukey split sized
 for the MXU:
@@ -47,7 +48,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import get_config, on_tpu
+from ..config import get_config
 
 
 def mxu_fft_enabled() -> bool:

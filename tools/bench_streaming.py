@@ -6,12 +6,17 @@ gate, i.e. XLA at these sizes) vs fuse=True (Pallas kernels forced — the
 compile amortizes across a steady stream).
 
 Two numbers per row, because the tunneled chip inflates dispatch:
-  - lat_ms:   median blocked per-step wall latency (includes the host->device
-              dispatch roundtrip — the honest serving number on local hosts,
-              pessimistic through the tunnel),
-  - rtf:      real-time factor from a chained run (audio-seconds processed
-              per wall-second across K back-to-back steps, sync at the end —
-              the device-bound number).
+  - lat_ms:   median blocked per-step wall latency. Sync is a HOST FETCH of
+              one output element (`block_until_ready` does NOT synchronize
+              through the axon tunnel — the round-4b run's 0.05 ms "blocked"
+              latencies were un-synced dispatch time, and the one row that
+              DID sync showed the real ~25 ms tunnel roundtrip). Includes
+              one dispatch+fetch roundtrip — honest on local hosts,
+              tunnel-roundtrip-dominated here.
+  - rtf:      real-time factor from a chained run: K back-to-back steps with
+              state threading, ONE host fetch of a sum over all outputs at
+              the end (full outputs consumed — DCE-safe), so per-step
+              dispatch overlaps device work. The device-bound number.
 
 Usage: python tools/bench_streaming.py [--quick]
 Emits one JSON line per row plus a markdown table on stderr-free stdout.
@@ -28,10 +33,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
+
+def _fetch_sync(out):
+    """Host-fetch one element — the only thing that synchronizes through
+    the axon tunnel (block_until_ready returns early there)."""
+    return float(jnp.sum(out))
+
 
 def bench_stream(make, sr, hop, chunk_sec, batch=1, k=32, warm=6):
-    import jax
-
     s = make()
     chunk_len = max(hop, int(round(chunk_sec * sr / hop)) * hop)
     rng = np.random.RandomState(0)
@@ -43,24 +55,24 @@ def bench_stream(make, sr, hop, chunk_sec, batch=1, k=32, warm=6):
     # prime + compile every progress variant
     for i in range(warm):
         state, out = s.step(state, chunks[i % len(chunks)])
-    jax.block_until_ready(out)
+    _fetch_sync(out)
 
-    # blocked per-step latency
+    # blocked per-step latency (dispatch + device + fetch roundtrip)
     lats = []
     for i in range(k):
         t0 = time.perf_counter()
         state, out = s.step(state, chunks[i % len(chunks)])
-        jax.block_until_ready(out)
+        _fetch_sync(out)
         lats.append((time.perf_counter() - t0) * 1e3)
     lat_ms = statistics.median(lats)
 
-    # chained throughput (sync once)
+    # chained throughput: consume EVERY output (DCE-safe), one sync
     t0 = time.perf_counter()
-    outs = []
+    acc = 0.0
     for i in range(k):
         state, out = s.step(state, chunks[i % len(chunks)])
-        outs.append(out)
-    jax.block_until_ready(outs)
+        acc = acc + jnp.sum(out)
+    float(acc)
     wall = time.perf_counter() - t0
     audio_s = k * batch * chunk_len / sr
     return dict(chunk_ms=1e3 * chunk_len / sr, lat_ms=round(lat_ms, 3),
@@ -105,8 +117,6 @@ def main():
                 print(json.dumps(row), flush=True)
 
     # synthesis duals: frame chunks in, samples out
-    import jax
-
     n_fft, hop = 512, 160
     syn_classes = [
         ("StreamingiSTFT", lambda fuse: streaming.StreamingiSTFT(
@@ -127,19 +137,19 @@ def main():
                 state = s.init_state(1)
                 for _ in range(6):
                     state, out = s.step(state, X)
-                jax.block_until_ready(out)
+                _fetch_sync(out)
                 lats = []
                 for _ in range(32):
                     t0 = time.perf_counter()
                     state, out = s.step(state, X)
-                    jax.block_until_ready(out)
+                    _fetch_sync(out)
                     lats.append((time.perf_counter() - t0) * 1e3)
                 t0 = time.perf_counter()
-                outs = []
+                acc = 0.0
                 for _ in range(32):
                     state, out = s.step(state, X)
-                    outs.append(out)
-                jax.block_until_ready(outs)
+                    acc = acc + jnp.sum(out)
+                float(acc)
                 wall = time.perf_counter() - t0
                 row = dict(cls=syn_name, fuse=fuse,
                            chunk_ms=1e3 * t * hop / sr,
