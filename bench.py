@@ -27,6 +27,13 @@ Measurement notes (hard-won on the axon TPU tunnel):
   host fetch does. We chain ITERS forward passes inside one jit via a scalar
   data dependency (each iteration's input is perturbed by the previous
   output, so XLA cannot hoist or dedupe) and fetch one scalar at the end.
+- Round 5: the host-fetch roundtrip itself measured ~25-27 ms through the
+  tunnel (tools/profile_r5_chainstage.py) — at iters=8 that is ~3.4 ms/call
+  of NON-DEVICE overhead inside every rounds-1-4 number (30-60% of the
+  train-step rows). The floor is now measured at startup
+  (_measure_tunnel_floor) and subtracted; ``raw_value`` keeps the old
+  methodology for round-over-round continuity. On a local host the floor
+  is microseconds and the correction vanishes.
 - The chained scalar must be a FULL reduction (``jnp.sum``) of each output:
   consuming a single element lets XLA dead-code-shrink the matmuls.
 - Large arrays in a fori_loop carry deoptimize badly; the chain keeps only
@@ -53,16 +60,46 @@ REF_PATH = "/root/reference/Installation"
 
 # ---------------------------------------------------------------- TPU side
 
+#: measured host-fetch roundtrip through the axon tunnel (seconds); 0 on a
+#: local host. Set once by _measure_tunnel_floor() before any TPU metric.
+_TUNNEL_FLOOR_S = 0.0
+
+
+def _measure_tunnel_floor():
+    """One trivial jit + host fetch, repeated: its wall time is pure
+    dispatch+fetch roundtrip (measured ~25-27 ms through the axon tunnel,
+    round 5 — tools/profile_r5_chainstage.py). Every timed loop below pays
+    this constant ONCE per run() regardless of iters, so each per-call
+    time carries floor/iters of non-device overhead; _stats subtracts it.
+    On a local host the floor is ~50 us and the correction is a no-op."""
+    global _TUNNEL_FLOOR_S
+    import jax
+
+    s = jax.device_put(np.float32(1.0))
+    f = jax.jit(lambda a: a + 1.0)
+    float(f(s))
+    ts = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        float(f(s))
+        ts.append(time.perf_counter() - t0)
+    _TUNNEL_FLOOR_S = min(ts)
+
+
 def _stats(times, iters):
     """min/median/spread per-call stats from repeat wall times. The shared
     chip drifts ±30-50% across sessions; min is the least noise-contaminated
     point estimate, median + spread make round-over-round deltas
-    attributable (VERDICT r2 item 10)."""
-    ts = sorted(t / iters for t in times)
+    attributable (VERDICT r2 item 10). Each wall time is corrected by the
+    measured tunnel fetch floor (see _measure_tunnel_floor) — the raw
+    (uncorrected, rounds 1-4 methodology) min is kept as raw_min_s."""
+    ts_raw = sorted(t / iters for t in times)
+    ts = sorted(max(t - _TUNNEL_FLOOR_S, 1e-9) / iters for t in times)
     n = len(ts)
     med = ts[n // 2] if n % 2 else 0.5 * (ts[n // 2 - 1] + ts[n // 2])
     return {"min_s": ts[0], "med_s": med,
-            "spread": (ts[-1] - ts[0]) / ts[0]}
+            "spread": (ts[-1] - ts[0]) / ts[0],
+            "raw_min_s": ts_raw[0]}
 
 
 def _timeit(fn, x, iters=8, repeats=6, extra=None):
@@ -92,16 +129,20 @@ def _timeit(fn, x, iters=8, repeats=6, extra=None):
 
 def _thr(stats, audio_s=AUDIO_S):
     """Throughput rows from per-call stats: value = audio-s/s at the min
-    time, median at the median time, spread = repeat-to-repeat range."""
+    time (tunnel-floor-corrected — device-true), median at the median time,
+    spread = repeat-to-repeat range, raw_value = the rounds-1-4
+    uncorrected methodology for continuity."""
     return {"value": audio_s / stats["min_s"],
             "median": audio_s / stats["med_s"],
-            "spread": stats["spread"]}
+            "spread": stats["spread"],
+            "raw_value": audio_s / stats["raw_min_s"]}
 
 def tpu_metrics() -> dict[str, dict]:
     import jax
     import jax.numpy as jnp
     from nnaudio_tpu import features, fast_mode
 
+    _measure_tunnel_floor()
     out = {}
     x = jax.device_put(
         np.random.RandomState(0).randn(BATCH, LENGTH).astype(np.float32))
@@ -579,6 +620,15 @@ def main():
             "unit": "abs_err_vs_torch_reference_cpu",
             "vs_baseline": None,
         }))
+    # the measured axon-tunnel fetch roundtrip subtracted from every timed
+    # call (round 5): an artifact of the debugging tunnel, not of the chip —
+    # raw_value fields keep the rounds-1-4 uncorrected methodology
+    print(json.dumps({
+        "metric": "tunnel_fetch_floor_ms",
+        "value": round(_TUNNEL_FLOOR_S * 1e3, 2),
+        "unit": "ms_per_host_fetch_roundtrip",
+        "vs_baseline": None,
+    }))
     for key, metric in NAMES.items():
         base = theirs.get(key)
         row = ours[key]
@@ -591,6 +641,8 @@ def main():
             # repeat-to-repeat wall-time range relative to the best repeat
             "median": round(row["median"], 1),
             "spread": round(row["spread"], 3),
+            # rounds-1-4 methodology (no tunnel-floor subtraction)
+            "raw_value": round(row["raw_value"], 1),
         }))
 
 

@@ -57,10 +57,34 @@ def num_frames(length: int, frame_length: int, hop: int) -> int:
 
 
 def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
-    """(B, L) -> (B, T, frame_length) overlapping frames via static gather."""
+    """(B, L) -> (B, T, frame_length) overlapping frames.
+
+    Materialized as ``q = ceil(frame_length/hop)`` static slice+reshape
+    phase views concatenated on the last axis — NOT a gather. TPU gather
+    moves one element per index; on the CQT2010v2 decimation chain the
+    gather version measured 6.3 ms of a 6.7 ms forward (round-5 on-chip
+    decomposition, tools/profile_r5_pyramid.py) vs ~0.5 ms roofline for
+    the same bytes as contiguous copies. Phase view ``c`` is the
+    ``(T, hop)`` reshape of ``x[c*hop:]``, so row ``t`` starts at
+    ``t*hop + c*hop`` — concatenating the ``q`` views along the last axis
+    yields rows ``x[t*hop : t*hop + q*hop]``, sliced to ``frame_length``.
+    Bit-identical values to the gather; the VJP is ``q`` slice-adds (the
+    same overlap-add gradient, scatter-free)."""
     t = num_frames(x.shape[-1], frame_length, hop)
-    idx = jnp.arange(t)[:, None] * hop + jnp.arange(frame_length)[None, :]
-    return x[..., idx]
+    q = -(-frame_length // hop)
+    if q > 128:
+        # pathological overlap (hop << frame_length): concat operand count
+        # would dominate — keep the gather
+        idx = jnp.arange(t)[:, None] * hop + jnp.arange(frame_length)[None, :]
+        return x[..., idx]
+    lead = x.shape[:-1]
+    need = (t + q - 1) * hop
+    if x.shape[-1] < need:
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, need - x.shape[-1])])
+    view = x[..., :need].reshape(*lead, t + q - 1, hop)
+    parts = [view[..., c: c + t, :] for c in range(q)]
+    out = parts[0] if q == 1 else jnp.concatenate(parts, axis=-1)
+    return out[..., :frame_length]
 
 
 def frames_to_signal(frames: jax.Array, hop: int, length: int) -> jax.Array:
