@@ -102,7 +102,7 @@ def _stats(times, iters):
             "raw_min_s": ts_raw[0]}
 
 
-def _timeit(fn, x, iters=8, repeats=6, extra=None):
+def _timeit(fn, x, iters=32, repeats=6, extra=None):
     """Audio-agnostic per-call stats for one fn(x) call, tunnel-safe."""
     import jax
     import jax.numpy as jnp
@@ -288,8 +288,11 @@ def tpu_metrics() -> dict[str, dict]:
     out["pitch_shift"] = _thr(_timeit(lambda xx: ps(xx, 2.0), x, iters=2))
 
     # 22050 -> 16000 is the 320/441 rational case (worst-case band count)
+    # device time is ~30 us/call — needs deep amortization for the
+    # floor-corrected value to condition well (round-5 preview at iters=8
+    # showed spread 18.6)
     out["resample"] = _thr(_timeit(
-        lambda xx: resample_poly(xx, 320, 441), x))
+        lambda xx: resample_poly(xx, 320, 441), x, iters=128))
 
     # trainable end-to-end step: STFT basis + linear head under jax.grad
     stt = features.STFT(n_fft=N_FFT, hop_length=HOP,
