@@ -22,6 +22,39 @@ def test_frame_signal_matches_loop():
         assert np.array_equal(frames[0, t], x[0, t * 4 : t * 4 + 8])
 
 
+@pytest.mark.parametrize("L,W,hop", [
+    (1000, 256, 64),   # q=4
+    (1000, 256, 8),    # q=32 (deep-pyramid hop)
+    (500, 509, 256),   # decimation-chain shape (q=2, odd width)
+    (300, 100, 100),   # q=1, hop == W
+    (300, 100, 150),   # hop > W (gapped frames)
+    (100, 7, 3),       # tiny odd sizes
+    (64, 64, 1),       # pathological overlap (q=64, slice path)
+    (400, 130, 1),     # q=130 > 128: gather fallback branch
+])
+def test_frame_signal_slice_phases_match_gather(L, W, hop):
+    """The round-5 slice/reshape framing is bit-identical to the gather
+    it replaced, and its VJP is the same overlap-add scatter."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(3, L).astype(np.float32)
+    t = num_frames(L, W, hop)
+    if t <= 0:
+        pytest.skip("no frames at this geometry")
+    got = np.asarray(frame_signal(jnp.asarray(x), W, hop))
+    idx = np.arange(t)[:, None] * hop + np.arange(W)[None, :]
+    want = x[:, idx]
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+    def f(xx):
+        return jnp.sum(jnp.sin(frame_signal(xx, W, hop)))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(x)))
+    gw = np.zeros_like(x)
+    np.add.at(gw, (np.arange(3)[:, None, None], idx[None]), np.cos(want))
+    assert np.allclose(g, gw, atol=1e-5)
+
+
 def test_frames_to_signal_is_adjoint():
     """<frame(x), F> == <x, frames_to_signal(F)> for random tensors."""
     rng = np.random.RandomState(0)
