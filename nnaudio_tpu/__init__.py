@@ -11,10 +11,11 @@ __version__ = "0.4.0"
 
 from . import config
 from .config import (fast_mode, set_matmul_precision, set_use_fused_pyramid,
-                     set_use_mxu_fft, set_use_pallas, set_use_pallas_synthesis,
-                     set_use_parallel_chain)
+                     set_use_mxu_fft, set_use_pallas, set_use_pallas_analysis,
+                     set_use_pallas_synthesis, set_use_parallel_chain)
 
 __all__ = ["config", "fast_mode", "set_matmul_precision", "set_use_pallas",
+           "set_use_pallas_analysis",
            "set_use_pallas_synthesis", "set_use_fused_pyramid",
            "set_use_mxu_fft", "set_use_parallel_chain", "features",
            "streaming"]

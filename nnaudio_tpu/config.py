@@ -18,10 +18,21 @@ class _Config:
     # jax.lax.Precision for basis matmuls: "highest" (fp32 parity, default)
     # or "default" (bf16 fast mode).
     matmul_precision: str = "highest"
-    # Fused Pallas kernels on TPU (currently the frame+matmul+magnitude/
-    # power/filterbank epilogue kernels — 1.25-1.8x the XLA pipeline; see
-    # ops/dispatch.py).
+    # Master switch for the fused Pallas kernels on TPU (the frame+matmul+
+    # magnitude/power/filterbank epilogue kernels and the synthesis+OLA
+    # kernel; see ops/dispatch.py).
     use_pallas: bool = True
+    # Fused analysis kernels (magnitude/power/filterbank epilogues).
+    # None = auto (round-5 device-true policy, tools/profile_r5_dispatch.py
+    # — the round-2/3 "1.25x at HIGHEST" wins were floor-damped AND predate
+    # the round-5 frame_signal fix that sped the XLA chain up): fused in
+    # fast (bf16) mode at 128-aligned hops (1.16-1.5x XLA); at misaligned
+    # hops (q > 1) and in fp32-HIGHEST mode XLA wins (parity at the aligned
+    # headline, 1.4-5.9x elsewhere) — EXCEPT small divisor hops
+    # (hop < 128 dividing n_fft), where XLA's skinny-K chunked einsum
+    # collapses and the kernel wins 1.5-6x at both precisions.
+    # True/False force it.
+    use_pallas_analysis: bool | None = None
     # Fused synthesis+overlap-add kernel (iSTFT/Griffin-Lim). None = auto
     # (round-3 policy): always on in fast (bf16) mode (73.5k vs 66.2k XLA
     # at the headline config); in the fp32 modes on only where XLA's
@@ -75,6 +86,10 @@ def set_use_pallas(flag: bool) -> None:
     _config.use_pallas = bool(flag)
 
 
+def set_use_pallas_analysis(flag: bool | None) -> None:
+    _config.use_pallas_analysis = flag if flag is None else bool(flag)
+
+
 def set_use_pallas_synthesis(flag: bool | None) -> None:
     _config.use_pallas_synthesis = flag if flag is None else bool(flag)
 
@@ -120,8 +135,9 @@ def dot_precision() -> jax.lax.Precision:
 
 
 #: every config field that can change compiled-graph behavior
-_SALT_FIELDS = ("matmul_precision", "use_pallas", "use_pallas_synthesis",
-                "use_fused_pyramid", "use_mxu_fft", "use_parallel_chain")
+_SALT_FIELDS = ("matmul_precision", "use_pallas", "use_pallas_analysis",
+                "use_pallas_synthesis", "use_fused_pyramid", "use_mxu_fft",
+                "use_parallel_chain")
 
 
 def cache_salt(fields: tuple = _SALT_FIELDS) -> tuple:

@@ -27,8 +27,9 @@ class SpectralTransform:
     #: toggle does not retrace/recompile it. The base default is the full
     #: set (safe for any subclass); concrete transforms narrow it.
     _salt_fields: tuple = ("matmul_precision", "use_pallas",
-                           "use_pallas_synthesis", "use_fused_pyramid",
-                           "use_mxu_fft", "use_parallel_chain")
+                           "use_pallas_analysis", "use_pallas_synthesis",
+                           "use_fused_pyramid", "use_mxu_fft",
+                           "use_parallel_chain")
 
     def __init__(self) -> None:
         self._params: dict[str, jax.Array] = {}

@@ -81,7 +81,7 @@ class ChromaSTFT(SpectralTransform):
     >>> chroma = chroma_layer(x)
     """
 
-    _salt_fields = ('matmul_precision', 'use_pallas')
+    _salt_fields = ('matmul_precision', 'use_pallas', 'use_pallas_analysis')
 
     def __init__(
         self,

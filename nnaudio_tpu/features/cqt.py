@@ -271,7 +271,7 @@ class CQT1992(_FlatCQTInverse, SpectralTransform):
     >>> spec = cqt_layer(x)
     """
 
-    _salt_fields = ('matmul_precision', 'use_pallas')
+    _salt_fields = ('matmul_precision', 'use_pallas', 'use_pallas_analysis')
 
     def __init__(
         self,
@@ -477,7 +477,7 @@ class CQT1992v2(_FlatCQTInverse, SpectralTransform):
     >>> spec = cqt_layer(x)
     """
 
-    _salt_fields = ('matmul_precision', 'use_pallas')
+    _salt_fields = ('matmul_precision', 'use_pallas', 'use_pallas_analysis')
 
     def __init__(
         self,
@@ -620,8 +620,8 @@ class _PyramidCQT(SpectralTransform):
     (reference cqt.py:277-436 / 899-1069): octave count, top-octave band
     placement, early-downsample calculus, lowpass FIR, per-bin lengths."""
 
-    _salt_fields = ("matmul_precision", "use_pallas", "use_fused_pyramid",
-                    "use_parallel_chain")
+    _salt_fields = ("matmul_precision", "use_pallas", "use_pallas_analysis",
+                    "use_fused_pyramid", "use_parallel_chain")
 
     def __init__(self):
         super().__init__()

@@ -64,7 +64,7 @@ class Gammatonegram(SpectralTransform):
     >>> spec = gamma_layer(x)
     """
 
-    _salt_fields = ('matmul_precision', 'use_pallas')
+    _salt_fields = ('matmul_precision', 'use_pallas', 'use_pallas_analysis')
 
     def __init__(
         self,

@@ -103,7 +103,7 @@ class MelSpectrogram(SpectralTransform):
     >>> mels = mel_layer(x)
     """
 
-    _salt_fields = ('matmul_precision', 'use_pallas')
+    _salt_fields = ('matmul_precision', 'use_pallas', 'use_pallas_analysis')
 
     def __init__(
         self,
@@ -211,7 +211,7 @@ class MFCC(SpectralTransform):
     >>> coefs = mfcc_layer(x)
     """
 
-    _salt_fields = ('matmul_precision', 'use_pallas')
+    _salt_fields = ('matmul_precision', 'use_pallas', 'use_pallas_analysis')
 
     def __init__(
         self,

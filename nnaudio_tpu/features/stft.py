@@ -182,7 +182,7 @@ class STFT(SpectralTransform):
     >>> mags = spec_layer(x, output_format="Magnitude")
     """
 
-    _salt_fields = ('matmul_precision', 'use_pallas')
+    _salt_fields = ('matmul_precision', 'use_pallas', 'use_pallas_analysis')
 
     def __init__(
         self,

@@ -17,9 +17,13 @@ for the cos/sin bases:
 - **Gather einsum** fallback when hop doesn't divide n_fft or the chunk count
   exceeds 32 (deep CQT-pyramid octaves with tiny hops, where the unrolled
   chunk graph compiles slower than the gather runs).
-- **Pallas fused kernels** (default on TPU): frame-block scratch + matmul
-  with magnitude/power/filterbank epilogues fused in VMEM
-  (ops/framed_matmul.py).
+- **Pallas fused kernels**: frame-block scratch + matmul with
+  magnitude/power/filterbank epilogues fused in VMEM (ops/framed_matmul.py).
+  Dispatched by the measured shape/precision auto policy
+  (:func:`analysis_auto_fuse`, round-5 device-true data): fast-mode
+  128-aligned hops and small divisor hops fuse; fp32-HIGHEST aligned and
+  all misaligned (q > 1) hops run the XLA chain, which caught up when
+  ``core.frame.frame_signal`` stopped gathering (round 5).
 
 The op carries a custom VJP so trainable bases differentiate identically
 through every backend (frame-weighted outer products for dW, overlap
@@ -83,17 +87,63 @@ def framed_basis_pair(x, wcos, wsin, hop):
     return _xla_pair(x, wcos, wsin, hop)
 
 
+def analysis_auto_fuse(hop: int, n_fft: int, matmul_precision: str) -> bool:
+    """Auto policy for the fused analysis kernels (magnitude / power /
+    filterbank epilogues). Round-5 device-true measurements
+    (tools/profile_r5_dispatch.py, floor-corrected; the earlier rounds'
+    "Pallas 1.25x at HIGHEST" was tunnel-floor-damped AND predates the
+    round-5 ``frame_signal`` slice-phase fix that sped the XLA chain up):
+
+    - 128-aligned hops (q == 1): the kernel wins in fast (bf16) mode only
+      (1.16-1.5x at 2048/512 and 1024/256; Mel composite 1.3x); at
+      fp32-HIGHEST XLA is at parity at the headline and 1.4x ahead at
+      1024/256 (the kernel pays lane padding on F, e.g. 513 -> 640).
+    - misaligned hops (q > 1, e.g. 160/320): XLA's slice-phase framing +
+      one big matmul wins at BOTH precisions (1.4-5.9x) — the kernel pays
+      the lcm repack plus K padding (n_chunks*w > n_fft).
+    - small divisor hops (hop < 128 dividing n_fft, e.g. 512/64): XLA's
+      only fast alternative is the skinny-K (K = hop) chunked einsum,
+      which collapses on the MXU — the kernel wins 1.5-6.9x at both
+      precisions.
+    """
+    from .framed_matmul import hop_envelope
+
+    _, q, _ = hop_envelope(hop, n_fft)
+    if q == 1:
+        return matmul_precision == "default"
+    return n_fft % hop == 0 and n_fft // hop <= 32 and hop < 128
+
+
+def resolve_analysis_fuse(cfg, hop: int, n_fft: int) -> bool:
+    """Whether the analysis epilogue ops take the fused Pallas path.
+    Explicit config (``use_pallas_analysis``) wins; a ``force_fuse``
+    context (streaming's ``fuse=True``) outranks the auto policy — the
+    caller is promising a steady-state workload; otherwise the measured
+    auto policy above decides."""
+    if cfg.use_pallas_analysis is not None:
+        return cfg.use_pallas_analysis
+    from .framed_matmul import fuse_override
+
+    forced = fuse_override()
+    if forced is not None:
+        return forced
+    return analysis_auto_fuse(hop, n_fft, cfg.matmul_precision)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def framed_magnitude(x, wcos, wsin, hop, eps=0.0):
     """Fused ``sqrt((x*wcos)^2 + (x*wsin)^2 + eps)`` -> (B, F, T).
 
-    On TPU this runs as a single Pallas kernel (frame + two matmul
-    accumulations + magnitude epilogue) so the real/imag pair never touches
-    HBM: ~1.25x the XLA pipeline at fp32-HIGHEST and ~1.8x in fast mode at
-    the headline STFT config. Elsewhere (or outside the kernel envelope) it
-    falls back to the pair + elementwise magnitude."""
+    Where the measured auto policy says so (:func:`analysis_auto_fuse`),
+    this runs as a single Pallas kernel (frame + two matmul accumulations +
+    magnitude epilogue) so the real/imag pair never touches HBM — 1.16-1.5x
+    the XLA pipeline in fast mode at 128-aligned hops, up to 6.9x at small
+    divisor hops. Elsewhere (or outside the kernel envelope) it falls back
+    to the pair + elementwise magnitude, which XLA fuses."""
     cfg = get_config()
-    if on_tpu() and cfg.use_pallas and cfg.matmul_precision != "tensorfloat32":
+    if (on_tpu() and cfg.use_pallas
+            and cfg.matmul_precision != "tensorfloat32"
+            and resolve_analysis_fuse(cfg, hop, wcos.shape[-1])):
         from .framed_matmul import framed_magnitude_pallas
 
         out = framed_magnitude_pallas(
@@ -166,9 +216,12 @@ def framed_power(x, wcos, wsin, hop):
     """Fused power spectrum ``(x*wcos)^2 + (x*wsin)^2`` -> (B, F, T).
 
     MelSpectrogram's default ``power=2.0`` squares the magnitude right after
-    the sqrt — this op skips both elementwise passes entirely."""
+    the sqrt — this op skips both elementwise passes entirely. Fused-vs-XLA
+    dispatch follows :func:`analysis_auto_fuse`."""
     cfg = get_config()
-    if on_tpu() and cfg.use_pallas and cfg.matmul_precision != "tensorfloat32":
+    if (on_tpu() and cfg.use_pallas
+            and cfg.matmul_precision != "tensorfloat32"
+            and resolve_analysis_fuse(cfg, hop, wcos.shape[-1])):
         from .framed_matmul import framed_magnitude_pallas
 
         out = framed_magnitude_pallas(
@@ -206,9 +259,13 @@ framed_power.defvjp(_pow_fwd, _pow_bwd)
 def framed_filterbank(x, wcos, wsin, fb, hop, eps=0.0):
     """Fused ``fb @ (|STFT|^2 + eps)`` -> (B, n_mels, T): the whole
     MelSpectrogram/Gammatonegram forward in one Pallas kernel — the
-    (B, F, T) spectrogram never exists in HBM."""
+    (B, F, T) spectrogram never exists in HBM. Fused-vs-XLA dispatch
+    follows :func:`analysis_auto_fuse` (fast-mode composite 1.3x XLA at
+    the Mel headline; fp32-HIGHEST parity, so XLA keeps it there too)."""
     cfg = get_config()
-    if on_tpu() and cfg.use_pallas and cfg.matmul_precision != "tensorfloat32":
+    if (on_tpu() and cfg.use_pallas
+            and cfg.matmul_precision != "tensorfloat32"
+            and resolve_analysis_fuse(cfg, hop, wcos.shape[-1])):
         from .framed_matmul import framed_filterbank_pallas
 
         out = framed_filterbank_pallas(

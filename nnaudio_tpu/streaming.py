@@ -139,7 +139,7 @@ class _StreamingFramed:
     jitted pytree) lives in exactly one place."""
 
     #: config switches the _apply_sig graph reads
-    _salt_fields = ("matmul_precision", "use_pallas")
+    _salt_fields = ("matmul_precision", "use_pallas", "use_pallas_analysis")
 
     def _init_stream(self, width: int, hop: int, params: dict,
                      fuse: bool | None = None) -> None:

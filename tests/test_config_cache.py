@@ -169,3 +169,23 @@ def test_parallel_chain_toggle_retraces_pyramid():
         set_use_parallel_chain(None)
     assert len(layer._jit_cache) == n_cached + 1, "toggle must retrace"
     np.testing.assert_allclose(b, a, atol=2e-5 * np.abs(a).max(), rtol=1e-4)
+
+
+def test_pallas_analysis_toggle_retraces():
+    """set_use_pallas_analysis changes the analysis dispatch at trace time
+    (round-5 policy) — an already-used STFT must retrace on the toggle, and
+    the two graphs must agree numerically."""
+    from nnaudio_tpu.config import set_use_pallas_analysis
+
+    x = jnp.asarray(np.random.RandomState(7).randn(2, 4096), jnp.float32)
+    t = STFT(n_fft=512, hop_length=128, output_format="Magnitude",
+             verbose=False)
+    a = np.asarray(t(x))
+    n_cached = len(t._jit_cache)
+    try:
+        set_use_pallas_analysis(False)
+        b = np.asarray(t(x))
+    finally:
+        set_use_pallas_analysis(None)
+    assert len(t._jit_cache) == n_cached + 1, "toggle must retrace"
+    np.testing.assert_allclose(b, a, atol=2e-5 * np.abs(a).max(), rtol=1e-4)

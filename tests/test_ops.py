@@ -776,3 +776,47 @@ def test_gl_fused_loop_misaligned_hop(highest):
     scale = np.abs(rec_xla).max()
     err = np.abs(rec_fused - rec_xla).max() / scale
     assert err < (5e-4 if highest else 3e-2), err
+
+
+def test_analysis_auto_fuse_policy():
+    """The round-5 measured dispatch truth table
+    (tools/profile_r5_dispatch.py, device-true / floor-corrected):
+    128-aligned hops fuse only in fast mode; misaligned (q > 1) hops never
+    fuse — EXCEPT small divisor hops (hop < 128 dividing n_fft), where
+    XLA's only alternative is the skinny-K chunked einsum and the kernel
+    wins at both precisions."""
+    auto = dispatch.analysis_auto_fuse
+    # q = 1 (hop % 128 == 0): fast yes, HIGHEST no
+    for n_fft, hop in ((2048, 512), (1024, 256), (512, 128)):
+        assert auto(hop, n_fft, "default") is True
+        assert auto(hop, n_fft, "highest") is False
+    # q > 1, hop does not divide n_fft (speech hops): XLA both ways
+    for n_fft, hop in ((512, 160), (2048, 320)):
+        assert auto(hop, n_fft, "default") is False
+        assert auto(hop, n_fft, "highest") is False
+    # q > 1, small divisor hop: the kernel wins at both precisions
+    for n_fft, hop in ((512, 64), (1024, 32)):
+        assert auto(hop, n_fft, "default") is True
+        assert auto(hop, n_fft, "highest") is True
+    # q > 1 divisor hop but too many XLA chunks (gather fallback is fine,
+    # and the unrolled-kernel dot count would blow up too): no fuse
+    assert auto(8, 2048, "highest") is False
+
+
+def test_resolve_analysis_fuse_overrides():
+    """Explicit config wins over force_fuse wins over the auto policy."""
+    from nnaudio_tpu.config import get_config, set_use_pallas_analysis
+
+    cfg = get_config()
+    # auto: headline HIGHEST -> False
+    assert dispatch.resolve_analysis_fuse(cfg, 512, 2048) is False
+    with framed_matmul.force_fuse(True):
+        assert dispatch.resolve_analysis_fuse(cfg, 512, 2048) is True
+    try:
+        set_use_pallas_analysis(False)
+        with framed_matmul.force_fuse(True):  # explicit config outranks
+            assert dispatch.resolve_analysis_fuse(cfg, 512, 2048) is False
+        set_use_pallas_analysis(True)
+        assert dispatch.resolve_analysis_fuse(cfg, 512, 160) is True
+    finally:
+        set_use_pallas_analysis(None)
