@@ -45,8 +45,13 @@ def _xla_pair(x, wcos, wsin, hop):
     n_fft = wcos.shape[-1]
     # hop-decomposition emits n_fft/hop chunked matmuls; past ~32 chunks
     # (deep CQT-pyramid octaves with tiny hops) the unrolled graph compiles
-    # slower than the gather path runs — gather instead.
-    if n_fft % hop == 0 and hop >= 1 and n_fft // hop <= 32:
+    # slower than the frame path runs. Below hop=128 each chunk is a
+    # skinny-K (K = hop) einsum that collapses on the MXU — the slice-phase
+    # frame path + one full-width matmul wins 1.5-7.2x there despite its
+    # (n_fft/hop)x HBM read amplification (round-5 device-true A/B,
+    # tools/profile_r5_pair_smallhop.py: 512/64 fast 1.05 vs 5.05 ms,
+    # 1024/64 fast 2.85 vs 20.6, 512/32 HIGHEST 9.8 vs 22.5).
+    if n_fft % hop == 0 and hop >= 128 and n_fft // hop <= 32:
         # gather-free hop-decomposition: view x as (rows, hop); frame t is
         # rows t..t+n_fft/hop-1, so Y = sum_c x2[:, c:c+T] @ W[:, c*hop:(c+1)*hop]^T.
         b, length = x.shape
@@ -101,10 +106,13 @@ def analysis_auto_fuse(hop: int, n_fft: int, matmul_precision: str) -> bool:
     - misaligned hops (q > 1, e.g. 160/320): XLA's slice-phase framing +
       one big matmul wins at BOTH precisions (1.4-5.9x) — the kernel pays
       the lcm repack plus K padding (n_chunks*w > n_fft).
-    - small divisor hops (hop < 128 dividing n_fft, e.g. 512/64): XLA's
-      only fast alternative is the skinny-K (K = hop) chunked einsum,
-      which collapses on the MXU — the kernel wins 1.5-6.9x at both
-      precisions.
+    - small divisor hops (hop < 128 dividing n_fft, e.g. 512/64): the
+      kernel wins 1.5-6.9x over the skinny-K (K = hop) chunked einsum,
+      which collapses on the MXU. (``_xla_pair`` now routes hop < 128 to
+      the frame path instead — tools/profile_r5_pair_smallhop.py — which
+      closes most of that gap for the pair consumers; the kernel still
+      measures parity-to-1.14x over it and avoids the frame tensor's
+      (n_fft/hop)x HBM footprint, so it keeps the dispatch here.)
     """
     from .framed_matmul import hop_envelope
 
@@ -429,10 +437,16 @@ def _bwd(hop, res, grads):
     b, length = x.shape
     t_total = g_real.shape[-1]
 
-    if n_fft % hop == 0 and n_fft // hop <= 32:
+    if n_fft % hop == 0 and hop >= 128 and n_fft // hop <= 32:
         # hop-decomposition backward: neither the frame tensor nor the
         # cotangent frame tensor is materialized (a (B, T, 16384) frame
-        # tensor for a trainable default CQT1992v2 would be ~900MB at B=32)
+        # tensor for a trainable default CQT1992v2 would be ~900MB at B=32).
+        # Below hop=128 the chunked dW einsums go skinny (N = hop) and the
+        # frame-based fallback wins 1.2-1.3x (round-5 on-chip A/B, see
+        # tools/profile_r5_pair_smallhop.py and the matching forward gate
+        # in _xla_pair); the gated region bounds the frame tensor at
+        # n_fft <= 32*hop < 4096 columns, so the memory caveat above
+        # cannot trigger there.
         n_chunks = n_fft // hop
         rows = t_total + n_chunks - 1
         need = rows * hop

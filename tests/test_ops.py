@@ -382,7 +382,11 @@ def test_framed_filterbank_custom_vjp():
     g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, wcos, wsin, fb)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, wcos, wsin, fb)
     for a, b in zip(g1, g2):
-        assert np.allclose(a, b, rtol=1e-4, atol=1e-4)
+        # hop=16 < 128 routes the ref arm's pair through the frame path
+        # (round 5) while the custom VJP keeps the chunked dW einsums —
+        # the arms now differ by fp32 reassociation, so the tolerance is
+        # scale-relative instead of the old shared-forward bitwise one.
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-5 * np.abs(b).max())
 
 
 @pytest.mark.parametrize("n_fft,hop", [
